@@ -1,0 +1,44 @@
+"""rustsasa_tpu — a TPU-native Shrake-Rupley SASA framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of RustSASA
+(maxall41/RustSASA): absolute solvent-accessible surface area per atom of a
+protein structure, aggregated to residue/chain/protein level, with a builder
+API, a CLI (single file + directory batch), JSON/XML/PDB/CIF output, custom
+radii configs, and an MD-trajectory streaming path — engineered for TPU
+meshes instead of CPU threads.
+"""
+
+from .constants import (
+    DEFAULT_N_POINTS,
+    DEFAULT_PROBE_RADIUS,
+    POLAR_AMINO_ACIDS,
+)
+from .ops.engine import BatchedSasaEngine, SasaParams, calculate_sasa_internal
+from .radii import (
+    RadiusMissingError,
+    VanDerWaalsMissingError,
+    get_protor_radius,
+    get_radius,
+    get_vdw_radius,
+    load_radii_from_file,
+    parse_radii_config,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BatchedSasaEngine",
+    "SasaParams",
+    "calculate_sasa_internal",
+    "DEFAULT_N_POINTS",
+    "DEFAULT_PROBE_RADIUS",
+    "POLAR_AMINO_ACIDS",
+    "RadiusMissingError",
+    "VanDerWaalsMissingError",
+    "get_protor_radius",
+    "get_radius",
+    "get_vdw_radius",
+    "load_radii_from_file",
+    "parse_radii_config",
+    "__version__",
+]

@@ -1,0 +1,301 @@
+"""TPU-native Shrake-Rupley SASA engine.
+
+Replaces the reference's CPU-idiomatic design (ragged per-atom neighbor
+Vecs + SIMD early-exit kernel, reference: src/lib.rs:69-224,
+src/structures/spatial_grid.rs) with a fixed-shape, masked, fully batched
+formulation that XLA can tile onto the TPU:
+
+  1. Pairwise squared distances via the |a|^2 + |b|^2 - 2ab^T expansion
+     (one [N,3]x[3,N] matmul -> MXU) instead of a cell-list walk.
+  2. Exact neighbor capture: every atom j with d^2 <= (r_i + max_r + 2p)^2
+     is a candidate (same criterion as reference spatial_grid.rs:307,387);
+     the K nearest candidates are selected with lax.top_k and the engine
+     *verifies* no candidate was dropped (max_count <= K) - no silent
+     truncation, K is re-bucketed and the kernel re-run on overflow.
+  3. Occlusion: point p of atom i is occluded iff
+     dot(s_p, v_ij) < (t_j - |v_ij|^2 - r_i_eff^2) / (2 r_i_eff)
+     with t_j = (r_j + probe)^2 (reference: lib.rs:136-146), evaluated as a
+     masked [N, K, P] contraction, scanned over K-chunks so the working set
+     stays in VMEM-sized tiles.  No data-dependent early exit - arithmetic
+     density replaces branching on TPU.
+
+All shapes are static per (N_pad, K, P_pad) bucket; jit caches per bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DEFAULT_N_POINTS, DEFAULT_PROBE_RADIUS
+from .sphere import padded_sphere_points
+
+# Sentinel for "never occludes" limits and masked top-k scores.
+_NEG_BIG = np.float32(-1e30)
+
+# Candidate-selection slack: the matmul distance expansion loses a few ulps
+# to cancellation; widening the cutoff only ever *adds* candidates, and the
+# occlusion test recomputes v exactly, so this is always safe.
+_CUTOFF_SLACK = np.float32(1e-3)
+
+# Size of the neighbor-axis chunk the occlusion scan materializes at once.
+_K_CHUNK = 16
+
+# Atom-count buckets (1.5x-ish growth bounds recompilation and padding waste).
+_N_BUCKETS = [
+    8, 16, 32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072,
+    4096, 6144, 8192, 12288, 16384, 24576, 32768, 49152, 65536,
+]
+_K_BUCKETS = [16, 32, 64, 96, 128, 160, 192, 256, 320, 384, 512]
+
+
+def _round_bucket(n: int, buckets: list[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return int(math.ceil(n / buckets[-1])) * buckets[-1]
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class SasaParams:
+    """Runtime parameters of one SASA evaluation."""
+
+    probe_radius: float = DEFAULT_PROBE_RADIUS
+    n_points: int = DEFAULT_N_POINTS
+
+
+def _pairwise_d2(coords: jnp.ndarray) -> jnp.ndarray:
+    """Squared distance matrix via the matmul expansion (MXU path)."""
+    sq = jnp.sum(coords * coords, axis=-1)
+    cross = coords @ coords.T
+    d2 = sq[:, None] + sq[None, :] - 2.0 * cross
+    return jnp.maximum(d2, 0.0)
+
+
+def _occlusion_scan(
+    v: jnp.ndarray,  # [N, K, 3] center - neighbor
+    limit: jnp.ndarray,  # [N, K] occlusion threshold, -BIG where invalid
+    sphere: jnp.ndarray,  # [P, 3]
+) -> jnp.ndarray:
+    """OR-accumulate occlusion over K-chunks -> [N, P] bool."""
+    n, k, _ = v.shape
+    p = sphere.shape[0]
+    kc = min(_K_CHUNK, k)
+    n_chunks = _round_up(k, kc) // kc
+    pad_k = n_chunks * kc
+    if pad_k != k:
+        v = jnp.pad(v, ((0, 0), (0, pad_k - k), (0, 0)))
+        limit = jnp.pad(limit, ((0, 0), (0, pad_k - k)), constant_values=_NEG_BIG)
+    # [chunks, N, kc, 3] / [chunks, N, kc]
+    v_ch = v.reshape(n, n_chunks, kc, 3).transpose(1, 0, 2, 3)
+    lim_ch = limit.reshape(n, n_chunks, kc).transpose(1, 0, 2)
+
+    def body(occ, xs):
+        v_c, lim_c = xs
+        # dot(s_p, v_ij): [N, kc, P]
+        dots = jnp.einsum(
+            "nkd,pd->nkp", v_c, sphere, preferred_element_type=jnp.float32
+        )
+        occ = occ | jnp.any(dots < lim_c[:, :, None], axis=1)
+        return occ, None
+
+    occ0 = jnp.zeros((n, p), dtype=bool)
+    occ, _ = jax.lax.scan(body, occ0, (v_ch, lim_ch))
+    return occ
+
+
+def _sasa_kernel(
+    coords: jnp.ndarray,  # [N, 3] f32
+    radii: jnp.ndarray,  # [N] f32
+    group_id: jnp.ndarray,  # [N] i32 (equal ids never occlude each other)
+    valid: jnp.ndarray,  # [N] bool
+    sphere: jnp.ndarray,  # [P, 3] f32
+    point_valid: jnp.ndarray,  # [P] bool
+    probe: jnp.ndarray,  # scalar f32
+    *,
+    k: int,
+    n_points: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-structure padded SASA. Returns (sasa [N], max_neighbor_count)."""
+    n = coords.shape[0]
+    d2 = _pairwise_d2(coords)
+
+    max_radius = jnp.max(jnp.where(valid, radii, 0.0))
+    cutoff = radii + max_radius + 2.0 * probe  # per-atom search radius
+    pair_ok = (
+        valid[:, None]
+        & valid[None, :]
+        & (group_id[:, None] != group_id[None, :])
+    )
+    cand = pair_ok & (d2 <= cutoff[:, None] * cutoff[:, None] + _CUTOFF_SLACK)
+    counts = jnp.sum(cand, axis=1)
+    max_count = jnp.max(counts)
+
+    k_eff = min(k, n)
+    score = jnp.where(cand, -d2, _NEG_BIG)
+    _, nbr_idx = jax.lax.top_k(score, k_eff)  # [N, k_eff]
+    nbr_valid = jnp.take_along_axis(cand, nbr_idx, axis=1)
+
+    nc = coords[nbr_idx]  # [N, K, 3]
+    nr = radii[nbr_idx]  # [N, K]
+    v = coords[:, None, :] - nc
+    v2 = jnp.sum(v * v, axis=-1)
+    r_eff = radii + probe
+    r2 = r_eff * r_eff
+    thr = (nr + probe) ** 2
+    limit = (thr - v2 - r2[:, None]) / (2.0 * r_eff[:, None])
+    limit = jnp.where(nbr_valid, limit, _NEG_BIG)
+
+    occluded = _occlusion_scan(v, limit, sphere)  # [N, P]
+    accessible = jnp.sum(
+        point_valid[None, :] & ~occluded, axis=1, dtype=jnp.float32
+    )
+    area = 4.0 * np.float32(np.pi) * r2 * accessible * np.float32(1.0 / n_points)
+    return jnp.where(valid, area, 0.0), max_count
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_points"), donate_argnums=()
+)
+def _sasa_single(coords, radii, group_id, valid, sphere, point_valid, probe, *, k, n_points):
+    return _sasa_kernel(
+        coords, radii, group_id, valid, sphere, point_valid, probe,
+        k=k, n_points=n_points,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_points"))
+def _sasa_batched(coords, radii, group_id, valid, sphere, point_valid, probe, *, k, n_points):
+    """vmap over a [B, N, ...] batch of equally-padded structures."""
+    fn = functools.partial(_sasa_kernel, k=k, n_points=n_points)
+    sasa, max_counts = jax.vmap(
+        fn, in_axes=(0, 0, 0, 0, None, None, None)
+    )(coords, radii, group_id, valid, sphere, point_valid, probe)
+    return sasa, jnp.max(max_counts)
+
+
+def _initial_k(n: int) -> int:
+    # Typical protein packing tops out around ~130 in-range neighbors with
+    # ProtOr radii and probe 1.4 (the reference reserves 80 and grows,
+    # spatial_grid.rs:213); start at 128 and re-bucket on overflow.
+    return min(_round_bucket(min(128, n), _K_BUCKETS), n)
+
+
+def calculate_sasa_internal(
+    coords: np.ndarray,
+    radii: np.ndarray,
+    *,
+    group_ids: np.ndarray | None = None,
+    probe_radius: float = DEFAULT_PROBE_RADIUS,
+    n_points: int = DEFAULT_N_POINTS,
+) -> np.ndarray:
+    """Per-atom SASA for one structure (reference API: lib.rs:249-298).
+
+    coords: [N, 3] positions in Angstroms.
+    radii: [N] atomic radii.
+    group_ids: optional [N] int ids; atoms sharing an id never occlude each
+      other (reference semantics: Atom.id equality skip, lib.rs:124).  When
+      omitted every atom gets a distinct id.
+    """
+    coords = np.ascontiguousarray(coords, dtype=np.float32)
+    radii = np.ascontiguousarray(radii, dtype=np.float32)
+    n = coords.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.float32)
+    if group_ids is None:
+        gid = np.arange(n, dtype=np.int32)
+    else:
+        # Compress arbitrary ids to dense int32 (equality is all that matters).
+        _, gid = np.unique(np.asarray(group_ids), return_inverse=True)
+        gid = gid.astype(np.int32)
+
+    n_pad = _round_bucket(n, _N_BUCKETS)
+    p_pad = _round_up(n_points, 128)
+    sphere, point_valid = padded_sphere_points(n_points, p_pad)
+
+    c = np.zeros((n_pad, 3), dtype=np.float32)
+    c[:n] = coords
+    r = np.zeros(n_pad, dtype=np.float32)
+    r[:n] = radii
+    g = np.full(n_pad, -1, dtype=np.int32)
+    g[:n] = gid
+    # Padding atoms share group id -1 but are masked out via `valid` anyway.
+    valid = np.zeros(n_pad, dtype=bool)
+    valid[:n] = True
+
+    k = _initial_k(n_pad)
+    probe = np.float32(probe_radius)
+    while True:
+        sasa, max_count = _sasa_single(
+            c, r, g, valid, sphere, point_valid, probe, k=k, n_points=n_points
+        )
+        mc = int(max_count)
+        if mc <= k:
+            break
+        # Exactness guarantee: re-run with a K bucket that fits every
+        # in-range neighbor.  Silent truncation would corrupt results.
+        k = min(_round_bucket(mc, _K_BUCKETS), n_pad)
+    return np.asarray(sasa[:n])
+
+
+class BatchedSasaEngine:
+    """Batched engine: many equally-bucketed structures per device call.
+
+    Feed with (coords, radii, group_ids) triples; structures are padded to a
+    common N bucket and stacked [B, N, ...].  This is the throughput path for
+    directory/proteome processing (the TPU analog of the reference's
+    rayon-over-files outer loop, main.rs:375).
+    """
+
+    def __init__(self, params: SasaParams | None = None):
+        self.params = params or SasaParams()
+
+    def compute(
+        self, structures: list[tuple[np.ndarray, np.ndarray, np.ndarray | None]]
+    ) -> list[np.ndarray]:
+        params = self.params
+        if not structures:
+            return []
+        sizes = [s[0].shape[0] for s in structures]
+        n_pad = _round_bucket(max(max(sizes), 1), _N_BUCKETS)
+        p_pad = _round_up(params.n_points, 128)
+        sphere, point_valid = padded_sphere_points(params.n_points, p_pad)
+        b = len(structures)
+
+        c = np.zeros((b, n_pad, 3), dtype=np.float32)
+        r = np.zeros((b, n_pad), dtype=np.float32)
+        g = np.full((b, n_pad), -1, dtype=np.int32)
+        valid = np.zeros((b, n_pad), dtype=bool)
+        for i, (coords, radii, gids) in enumerate(structures):
+            n = coords.shape[0]
+            c[i, :n] = coords
+            r[i, :n] = radii
+            if gids is None:
+                g[i, :n] = np.arange(n, dtype=np.int32)
+            else:
+                _, inv = np.unique(np.asarray(gids), return_inverse=True)
+                g[i, :n] = inv.astype(np.int32)
+            valid[i, :n] = True
+
+        k = _initial_k(n_pad)
+        probe = np.float32(params.probe_radius)
+        while True:
+            sasa, max_count = _sasa_batched(
+                c, r, g, valid, sphere, point_valid, probe,
+                k=k, n_points=params.n_points,
+            )
+            mc = int(max_count)
+            if mc <= k:
+                break
+            k = min(_round_bucket(mc, _K_BUCKETS), n_pad)
+        sasa = np.asarray(sasa)
+        return [sasa[i, :n] for i, n in enumerate(sizes)]

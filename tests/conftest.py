@@ -1,0 +1,33 @@
+"""Test configuration.
+
+Tests run on the JAX CPU backend with 8 virtual devices so sharding tests
+exercise a real (virtual) mesh without TPU hardware, and so the suite is
+deterministic and runs anywhere.  Env vars must be set before jax imports.
+"""
+
+import os
+import pathlib
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+REFERENCE_DATA = pathlib.Path("/root/reference/tests/data")
+
+
+@pytest.fixture(scope="session")
+def reference_data_dir() -> pathlib.Path:
+    if not REFERENCE_DATA.is_dir():
+        pytest.skip("reference test data not available")
+    return REFERENCE_DATA
+
+
+@pytest.fixture(scope="session")
+def example_cif(reference_data_dir) -> pathlib.Path:
+    return reference_data_dir / "pdbs" / "example.cif"
