@@ -8,10 +8,21 @@ radii configs, and an MD-trajectory streaming path — engineered for TPU
 meshes instead of CPU threads.
 """
 
+from .api import SASAOptions
 from .constants import (
     DEFAULT_N_POINTS,
     DEFAULT_PROBE_RADIUS,
     POLAR_AMINO_ACIDS,
+)
+from .io.read import StructureReadError, parse_structure, read_structure
+from .io.structure import Structure
+from .levels import (
+    ChainResult,
+    Level,
+    ProteinResult,
+    ResidueResult,
+    SASAResult,
+    serialize_chain_id,
 )
 from .ops.engine import BatchedSasaEngine, SasaParams, calculate_sasa_internal
 from .radii import (
@@ -27,6 +38,17 @@ from .radii import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "SASAOptions",
+    "Level",
+    "SASAResult",
+    "ResidueResult",
+    "ChainResult",
+    "ProteinResult",
+    "Structure",
+    "StructureReadError",
+    "read_structure",
+    "parse_structure",
+    "serialize_chain_id",
     "BatchedSasaEngine",
     "SasaParams",
     "calculate_sasa_internal",

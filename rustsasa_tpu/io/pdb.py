@@ -1,0 +1,174 @@
+"""PDB-format reader/writer.
+
+Vectorized fixed-column parsing: ATOM/HETATM lines are packed into an
+[N, 80] byte matrix and every field is sliced as a numpy column batch -
+no per-line Python loop on the hot path.  Parsing is permissive ("Loose"
+in the reference's terms, main.rs:185-188): non-coordinate records are
+ignored, malformed numeric fields fall back to per-row repair instead of
+failing the file, and files with broken header records (SEQADV, odd
+space groups) parse fine because only coordinate records are read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .structure import AtomTable, Structure, build_hierarchy, infer_element
+
+
+class PDBParseError(ValueError):
+    pass
+
+
+def _field_float(mat: np.ndarray, lo: int, hi: int, default: float = 0.0) -> np.ndarray:
+    """Parse a fixed-width float column; per-row fallback on bad cells."""
+    raw = np.ascontiguousarray(mat[:, lo:hi]).view(f"S{hi - lo}").ravel()
+    try:
+        return raw.astype(np.float64)
+    except ValueError:
+        out = np.full(len(raw), default, dtype=np.float64)
+        for i, cell in enumerate(raw):
+            try:
+                out[i] = float(cell)
+            except ValueError:
+                pass
+        return out
+
+
+def _field_int(mat: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    raw = np.ascontiguousarray(mat[:, lo:hi]).view(f"S{hi - lo}").ravel()
+    try:
+        return raw.astype(np.int64)
+    except ValueError:
+        out = np.zeros(len(raw), dtype=np.int64)
+        for i, cell in enumerate(raw):
+            try:
+                out[i] = int(cell)
+            except ValueError:
+                # Overflowed serials ("*****") or hybrid-36: fall back to
+                # the previous value + 1 so ordering survives.
+                out[i] = out[i - 1] + 1 if i else 0
+        return out
+
+
+def _field_str(mat: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    raw = np.ascontiguousarray(mat[:, lo:hi]).view(f"S{hi - lo}").ravel()
+    return np.char.strip(raw.astype(str)).astype(object)
+
+
+def parse_pdb(content: str | bytes, source_path: str = "") -> Structure:
+    """Parse PDB text into a Structure (first model only)."""
+    if isinstance(content, str):
+        content = content.encode("utf-8", "replace")
+    lines = content.split(b"\n")
+
+    atom_lines: list[bytes] = []
+    for line in lines:
+        rec = line[:6]
+        if rec.startswith(b"ATOM") or rec == b"HETATM":
+            atom_lines.append(line)
+        elif rec.startswith(b"ENDMDL"):
+            # Keep only the first model (FreeSASA-compatible choice; the
+            # reference's test corpus has no multi-model files).
+            break
+
+    if not atom_lines:
+        return Structure(
+            atoms=AtomTable.empty(), chains=[], source_path=source_path,
+            format="pdb",
+        )
+
+    n = len(atom_lines)
+    mat = np.zeros((n, 80), dtype="S1")
+    packed = np.array(atom_lines, dtype="S80")
+    mat = packed.view("S1").reshape(n, 80)
+    # Replace NUL padding with spaces so numeric conversions work.
+    mat = np.where(mat == b"", b" ", mat)
+
+    # PDB fixed columns (1-based spec -> 0-based slices).
+    record = np.ascontiguousarray(mat[:, 0:6]).view("S6").ravel()
+    hetero = np.char.startswith(record, b"HETATM")
+    serial = _field_int(mat, 6, 11)
+    raw_name = np.ascontiguousarray(mat[:, 12:16]).view("S4").ravel().astype(str)
+    name = np.char.strip(raw_name).astype(object)
+    alt_loc = _field_str(mat, 16, 17)
+    resname = _field_str(mat, 17, 20)
+    chain_id = _field_str(mat, 21, 22)
+    res_serial = _field_int(mat, 22, 26)
+    icode = _field_str(mat, 26, 27)
+    x = _field_float(mat, 30, 38)
+    y = _field_float(mat, 38, 46)
+    z = _field_float(mat, 46, 54)
+    occupancy = _field_float(mat, 54, 60, default=1.0)
+    bfactor = _field_float(mat, 60, 66, default=0.0)
+    element = _field_str(mat, 76, 78)
+    element = np.char.upper(element.astype(str)).astype(object)
+
+    # Element fallback: infer from the raw atom-name field where blank.
+    missing = element == ""
+    if missing.any():
+        for i in np.nonzero(missing)[0]:
+            element[i] = infer_element(raw_name[i])
+
+    table = AtomTable(
+        coords=np.stack([x, y, z], axis=1).astype(np.float32),
+        serial=serial,
+        name=name,
+        alt_loc=alt_loc,
+        resname=resname,
+        chain_id=chain_id,
+        res_serial=res_serial,
+        icode=icode,
+        occupancy=occupancy.astype(np.float32),
+        bfactor=bfactor.astype(np.float32),
+        element=element,
+        hetero=hetero,
+    )
+    return Structure(
+        atoms=table, chains=build_hierarchy(table), source_path=source_path,
+        format="pdb",
+    )
+
+
+def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:
+    """Serialize a Structure back to PDB text.
+
+    bfactors: optional [N] replacement B-factor column (SASA write-back,
+    reference: io.rs:20-64 + pdbtbx::save).
+    """
+    t = structure.atoms
+    bf = t.bfactor if bfactors is None else np.asarray(bfactors)
+    out: list[str] = []
+    serial_counter = 0
+    for chain in structure.chains:
+        last_idx = None
+        for residue in chain.residues:
+            for conformer in residue.conformers:
+                for i in conformer.atom_indices:
+                    serial_counter += 1
+                    name = t.name[i]
+                    # Standard alignment: element right-justified in 13-14.
+                    if len(name) < 4 and len(t.element[i]) < 2:
+                        name_field = f" {name:<3}"
+                    else:
+                        name_field = f"{name:<4}"
+                    record = "HETATM" if t.hetero[i] else "ATOM  "
+                    out.append(
+                        f"{record}{min(t.serial[i], 99999):>5} {name_field}"
+                        f"{t.alt_loc[i] or ' '}{t.resname[i]:>3} "
+                        f"{(chain.id or ' ')[:1]}{residue.serial_number:>4}"
+                        f"{residue.insertion_code or ' '}   "
+                        f"{t.coords[i, 0]:8.3f}{t.coords[i, 1]:8.3f}"
+                        f"{t.coords[i, 2]:8.3f}{t.occupancy[i]:6.2f}"
+                        f"{bf[i]:6.2f}          {t.element[i]:>2}"
+                    )
+                    last_idx = i
+        if last_idx is not None:
+            out.append(
+                f"TER   {min(t.serial[last_idx] + 1, 99999):>5}      "
+                f"{t.resname[last_idx]:>3} {(chain.id or ' ')[:1]}"
+                f"{chain.residues[-1].serial_number:>4}"
+                f"{chain.residues[-1].insertion_code or ' '}"
+            )
+    out.append("END")
+    return "\n".join(out) + "\n"

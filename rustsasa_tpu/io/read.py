@@ -1,0 +1,56 @@
+"""Structure file reading: format dispatch + gzip support."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+from .cif import parse_cif
+from .pdb import parse_pdb
+from .structure import Structure
+
+
+class StructureReadError(ValueError):
+    """Failed to read/parse an input structure (reference: CLIError::InputFileRead)."""
+
+
+def _sniff_format(path: str, content: bytes) -> str:
+    base = path[:-3] if path.endswith(".gz") else path
+    ext = os.path.splitext(base)[1].lower()
+    if ext in (".cif", ".mmcif"):
+        return "cif"
+    if ext in (".pdb", ".ent", ".pdb1"):
+        return "pdb"
+    # Sniff: mmCIF starts with data_ / # blocks; PDB with record names.
+    head = content[:4096].lstrip()
+    if head.startswith(b"data_") or b"_atom_site." in content[:65536]:
+        return "cif"
+    return "pdb"
+
+
+def read_structure(path: str) -> Structure:
+    """Read a PDB or mmCIF file (optionally .gz) into a Structure."""
+    try:
+        if path.endswith(".gz"):
+            with gzip.open(path, "rb") as f:
+                content = f.read()
+        else:
+            with open(path, "rb") as f:
+                content = f.read()
+    except OSError as e:
+        raise StructureReadError(f"Failed to read from input file: {e}") from e
+    return parse_structure(content, path)
+
+
+def parse_structure(content: bytes | str, path: str = "") -> Structure:
+    if isinstance(content, str):
+        content = content.encode("utf-8", "replace")
+    fmt = _sniff_format(path, content)
+    try:
+        if fmt == "cif":
+            return parse_cif(content, source_path=path)
+        return parse_pdb(content, source_path=path)
+    except StructureReadError:
+        raise
+    except Exception as e:  # noqa: BLE001 - wrap into a typed error
+        raise StructureReadError(f"Failed to parse {path or '<memory>'}: {e}") from e

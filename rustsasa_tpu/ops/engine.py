@@ -74,9 +74,19 @@ class SasaParams:
 
 
 def _pairwise_d2(coords: jnp.ndarray) -> jnp.ndarray:
-    """Squared distance matrix via the matmul expansion (MXU path)."""
+    """Squared distance matrix via the matmul expansion (MXU path).
+
+    Precision MUST be highest: the TPU default truncates f32 matmul inputs
+    to bf16, and with |coords| ~ 1e2 the resulting d^2 error (~1e2 A^2)
+    would silently drop true neighbors.  HIGHEST uses multi-pass bf16
+    (f32-accurate) on the MXU; the contraction dim is only 3, so the cost
+    is irrelevant next to the occlusion scan.
+    """
     sq = jnp.sum(coords * coords, axis=-1)
-    cross = coords @ coords.T
+    cross = jnp.dot(
+        coords, coords.T, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     d2 = sq[:, None] + sq[None, :] - 2.0 * cross
     return jnp.maximum(d2, 0.0)
 
@@ -101,9 +111,12 @@ def _occlusion_scan(
 
     def body(occ, xs):
         v_c, lim_c = xs
-        # dot(s_p, v_ij): [N, kc, P]
+        # dot(s_p, v_ij): [N, kc, P].  HIGHEST precision: v components are
+        # O(cutoff) ~ 6.5 A and the occlusion limit comparison needs f32.
         dots = jnp.einsum(
-            "nkd,pd->nkp", v_c, sphere, preferred_element_type=jnp.float32
+            "nkd,pd->nkp", v_c, sphere,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         occ = occ | jnp.any(dots < lim_c[:, :, None], axis=1)
         return occ, None

@@ -8,12 +8,19 @@ deterministic and runs anywhere.  Env vars must be set before jax imports.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize may force-register a TPU backend and
+# override jax_platforms after env vars are read; re-pin to CPU before any
+# backend is initialized so the suite runs on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
