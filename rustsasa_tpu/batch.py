@@ -1,0 +1,180 @@
+"""Directory batch processing: the proteome-throughput pipeline.
+
+TPU-native redesign of the reference's batch mode (reference:
+src/main.rs:341-480, rayon par_iter over files with inner threads=1):
+
+  host thread pool: parse + atom selection  (I/O + numpy, overlapped)
+      -> size-bucketed device batches (BatchedSasaEngine, one chip fed
+         with many structures per dispatch)
+      -> host thread pool: aggregation + serialization + writes
+
+Per-file error isolation is preserved: one bad structure never aborts the
+run; errors are collected and reported at the end (reference:
+main.rs:360,447-477).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from .api import SASAOptions
+from .io.read import read_structure
+from .io.serialize import (
+    sasa_result_to_bfactors,
+    sasa_result_to_json,
+    sasa_result_to_xml,
+)
+from .levels import aggregate
+from .ops.engine import BatchedSasaEngine, SasaParams
+
+
+@dataclass
+class BatchReport:
+    n_files: int = 0
+    n_ok: int = 0
+    errors: list[str] = field(default_factory=list)
+    elapsed_s: float = 0.0
+
+
+class _Progress:
+    """Minimal stderr progress line (reference uses indicatif, main.rs:366)."""
+
+    def __init__(self, total: int, enabled: bool):
+        self.total = total
+        self.done = 0
+        self.enabled = enabled and total > 0
+        self.start = time.time()
+
+    def tick(self, n: int = 1) -> None:
+        if not self.enabled:
+            return
+        self.done += n
+        elapsed = time.time() - self.start
+        rate = self.done / elapsed if elapsed > 0 else 0.0
+        eta = (self.total - self.done) / rate if rate > 0 else 0.0
+        width = 30
+        filled = int(width * self.done / self.total)
+        bar = "#" * filled + "-" * (width - filled)
+        sys.stderr.write(
+            f"\r[{elapsed:7.1f}s] [{bar}] {self.done}/{self.total} "
+            f"(eta {eta:.0f}s)"
+        )
+        if self.done >= self.total:
+            sys.stderr.write("\n")
+        sys.stderr.flush()
+
+
+def serialize_result(structure, result, fmt: str) -> str:
+    from .io.cif import write_cif
+    from .io.pdb import write_pdb
+
+    if fmt == "json":
+        return sasa_result_to_json(result)
+    if fmt == "xml":
+        return sasa_result_to_xml(result)
+    if fmt == "pdb":
+        return write_pdb(structure, sasa_result_to_bfactors(structure, result))
+    if fmt == "cif":
+        return write_cif(structure, sasa_result_to_bfactors(structure, result))
+    raise ValueError(f"unknown output format: {fmt}")
+
+
+STRUCTURE_EXTS = (".pdb", ".ent", ".cif", ".mmcif", ".pdb1")
+
+
+def _is_structure_file(name: str) -> bool:
+    base = name[:-3] if name.endswith(".gz") else name
+    return base.lower().endswith(STRUCTURE_EXTS) or "." not in os.path.basename(base)
+
+
+def process_directory(
+    input_dir: str,
+    output_dir: str,
+    options: SASAOptions,
+    output_format: str,
+    *,
+    workers: int | None = None,
+    progress: bool = True,
+    engine: BatchedSasaEngine | None = None,
+) -> BatchReport:
+    """Process every structure file in input_dir -> output_dir.
+
+    Returns a BatchReport; raises only for setup failures (bad output dir),
+    never for individual file failures.
+    """
+    t0 = time.time()
+    report = BatchReport()
+
+    if os.path.exists(output_dir) and not os.path.isdir(output_dir):
+        raise NotADirectoryError(
+            f"Output path exists but is not a directory: {output_dir}"
+        )
+    os.makedirs(output_dir, exist_ok=True)
+
+    try:
+        entries = sorted(os.listdir(input_dir))
+    except OSError as e:
+        raise FileNotFoundError(f"Failed to read directory: {e}") from e
+    files = [
+        os.path.join(input_dir, f)
+        for f in entries
+        if os.path.isfile(os.path.join(input_dir, f))
+    ]
+    report.n_files = len(files)
+    bar = _Progress(len(files), progress)
+
+    workers = workers or min(32, (os.cpu_count() or 4) * 2)
+    engine = engine or BatchedSasaEngine(
+        SasaParams(probe_radius=options.probe_radius, n_points=options.n_points)
+    )
+
+    # Phase 1: parse + select on host worker threads.
+    def load(path):
+        try:
+            structure = read_structure(path)
+            sel = options.build_selection(structure)
+            return (path, structure, sel, None)
+        except Exception as e:  # noqa: BLE001 - per-file isolation
+            return (path, None, None, f"Error processing {os.path.basename(path)}: {e}")
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        loaded = list(pool.map(load, files))
+
+    good = [(p, s, sel) for (p, s, sel, err) in loaded if err is None]
+    for _, _, _, err in loaded:
+        if err is not None:
+            report.errors.append(err)
+            bar.tick()
+
+    # Phase 2: batched device compute over all successfully parsed files.
+    triples = [(sel.coords, sel.radii, sel.group_ids) for (_, _, sel) in good]
+    atom_sasas = engine.compute(triples)
+
+    # Phase 3: aggregate + serialize + write on host worker threads.
+    def emit(args):
+        (path, structure, sel), atom_sasa = args
+        try:
+            result = aggregate(sel, atom_sasa, options.level)
+            payload = serialize_result(structure, result, output_format)
+            stem = os.path.splitext(os.path.basename(path))[0]
+            out_path = os.path.join(output_dir, f"{stem}.{output_format}")
+            with open(out_path, "w", encoding="utf-8") as f:
+                f.write(payload)
+            return None
+        except Exception as e:  # noqa: BLE001 - per-file isolation
+            return f"Error processing {os.path.basename(path)}: {e}"
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for err in pool.map(emit, zip(good, atom_sasas)):
+            if err is None:
+                report.n_ok += 1
+            else:
+                report.errors.append(err)
+            bar.tick()
+
+    report.elapsed_s = time.time() - t0
+    return report

@@ -1,0 +1,205 @@
+"""Result serialization: JSON, XML, and structure b-factor write-back.
+
+Output schemas are wire-compatible with the reference's serde output
+(reference: src/utils/io.rs, src/structures/atomic.rs:63-70):
+
+  JSON (externally tagged):   {"Residue": [{"serial_number": ..., ...}]}
+  XML (quick-xml style):      repeated <Residue>...</Residue> roots
+  PDB/CIF: SASA values stamped into the B-factor column of the original
+  structure (reference: io.rs:20-64).
+
+Floats are rendered with shortest-f32 round-trip representation to match
+serde_json's output for f32 values.
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import escape
+
+import numpy as np
+
+from ..levels import Level, SASAResult
+from .structure import Structure
+
+
+class SerializationError(ValueError):
+    """Result does not fit the structure (reference: CLIError::ProteinSerialization)."""
+
+
+def _f32_repr(x: float) -> str:
+    """Shortest round-trip decimal for an f32 (serde_json f32 formatting)."""
+    return np.format_float_positional(
+        np.float32(x), unique=True, trim="0"
+    ).rstrip(".") or "0.0"
+
+
+def _f32_json(x: float) -> str:
+    s = _f32_repr(x)
+    return s if ("." in s or "e" in s or "E" in s) else s + ".0"
+
+
+def _json_str(s: str) -> str:
+    import json
+
+    return json.dumps(s)
+
+
+def sasa_result_to_json(result: SASAResult) -> str:
+    """Serialize to the reference's externally-tagged JSON (io.rs:11-13)."""
+    if result.level is Level.ATOM:
+        body = ",".join(_f32_json(v) for v in result.atoms)
+        return f'{{"Atom":[{body}]}}'
+    if result.level is Level.RESIDUE:
+        items = ",".join(
+            "{"
+            f'"serial_number":{r.serial_number},'
+            f'"insertion_code":{_json_str(r.insertion_code)},'
+            f'"value":{_f32_json(r.value)},'
+            f'"name":{_json_str(r.name)},'
+            f'"is_polar":{"true" if r.is_polar else "false"},'
+            f'"chain_id":{_json_str(r.chain_id)}'
+            "}"
+            for r in result.residues
+        )
+        return f'{{"Residue":[{items}]}}'
+    if result.level is Level.CHAIN:
+        items = ",".join(
+            f'{{"name":{_json_str(c.name)},"value":{_f32_json(c.value)}}}'
+            for c in result.chains
+        )
+        return f'{{"Chain":[{items}]}}'
+    if result.level is Level.PROTEIN:
+        p = result.protein
+        return (
+            f'{{"Protein":{{"global_total":{_f32_json(p.global_total)},'
+            f'"polar_total":{_f32_json(p.polar_total)},'
+            f'"non_polar_total":{_f32_json(p.non_polar_total)}}}}}'
+        )
+    raise SerializationError(f"unknown level {result.level}")
+
+
+def sasa_result_to_xml(result: SASAResult) -> str:
+    """Serialize to quick-xml-compatible XML (io.rs:16-18).
+
+    quick-xml renders the externally tagged enum as repeated variant-named
+    root elements; we match that shape for parity.
+    """
+    if result.level is Level.ATOM:
+        return "".join(f"<Atom>{_f32_repr(v)}</Atom>" for v in result.atoms)
+    if result.level is Level.RESIDUE:
+        return "".join(
+            "<Residue>"
+            f"<serial_number>{r.serial_number}</serial_number>"
+            f"<insertion_code>{escape(r.insertion_code)}</insertion_code>"
+            f"<value>{_f32_repr(r.value)}</value>"
+            f"<name>{escape(r.name)}</name>"
+            f"<is_polar>{'true' if r.is_polar else 'false'}</is_polar>"
+            f"<chain_id>{escape(r.chain_id)}</chain_id>"
+            "</Residue>"
+            for r in result.residues
+        )
+    if result.level is Level.CHAIN:
+        return "".join(
+            "<Chain>"
+            f"<name>{escape(c.name)}</name>"
+            f"<value>{_f32_repr(c.value)}</value>"
+            "</Chain>"
+            for c in result.chains
+        )
+    if result.level is Level.PROTEIN:
+        p = result.protein
+        return (
+            "<Protein>"
+            f"<global_total>{_f32_repr(p.global_total)}</global_total>"
+            f"<polar_total>{_f32_repr(p.polar_total)}</polar_total>"
+            f"<non_polar_total>{_f32_repr(p.non_polar_total)}</non_polar_total>"
+            "</Protein>"
+        )
+    raise SerializationError(f"unknown level {result.level}")
+
+
+def sasa_result_to_bfactors(
+    structure: Structure, result: SASAResult
+) -> np.ndarray:
+    """Compute the replacement B-factor column for write-back (io.rs:20-64).
+
+    Returns an [N] array over ALL atoms of the structure in table order.
+    """
+    t = structure.atoms
+    bf = np.array(t.bfactor, dtype=np.float32, copy=True)
+
+    if result.level is Level.ATOM:
+        order = list(structure.iter_hierarchy_atom_indices())
+        if len(result.atoms) < len(order):
+            raise SerializationError(
+                f"atom result length {len(result.atoms)} < structure atom "
+                f"count {len(order)} (excluded atoms cannot be written back)"
+            )
+        for pos, i in enumerate(order):
+            bf[i] = result.atoms[pos]
+        return bf
+
+    if result.level is Level.RESIDUE:
+        it = iter(result.residues)
+        for chain in structure.chains:
+            for residue in chain.residues:
+                try:
+                    r = next(it)
+                except StopIteration as e:
+                    raise SerializationError(
+                        "residue result count does not match structure"
+                    ) from e
+                if r.serial_number != residue.serial_number:
+                    raise SerializationError(
+                        f"residue serial mismatch: {r.serial_number} != "
+                        f"{residue.serial_number}"
+                    )
+                for i in residue.atom_indices():
+                    bf[i] = r.value
+        return bf
+
+    if result.level is Level.CHAIN:
+        if len(result.chains) != len(structure.chains):
+            raise SerializationError("chain result count does not match structure")
+        for c_res, chain in zip(result.chains, structure.chains):
+            if c_res.name != chain.id:
+                raise SerializationError(
+                    f"chain name mismatch: {c_res.name} != {chain.id}"
+                )
+            for residue in chain.residues:
+                for i in residue.atom_indices():
+                    bf[i] = c_res.value
+        return bf
+
+    if result.level is Level.PROTEIN:
+        bf[:] = result.protein.global_total
+        return bf
+
+    raise SerializationError(f"unknown level {result.level}")
+
+
+def parse_json_result(content: str) -> SASAResult:
+    """Read back an externally tagged JSON result (for tests/tools)."""
+    import json
+
+    from ..levels import ChainResult, ProteinResult, ResidueResult
+
+    data = json.loads(content)
+    if "Atom" in data:
+        return SASAResult(
+            level=Level.ATOM, atoms=np.asarray(data["Atom"], np.float32)
+        )
+    if "Residue" in data:
+        return SASAResult(
+            level=Level.RESIDUE,
+            residues=[ResidueResult(**r) for r in data["Residue"]],
+        )
+    if "Chain" in data:
+        return SASAResult(
+            level=Level.CHAIN, chains=[ChainResult(**c) for c in data["Chain"]]
+        )
+    if "Protein" in data:
+        return SASAResult(
+            level=Level.PROTEIN, protein=ProteinResult(**data["Protein"])
+        )
+    raise SerializationError("unrecognized SASA result JSON")

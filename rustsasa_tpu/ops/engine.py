@@ -260,13 +260,23 @@ def calculate_sasa_internal(
     return np.asarray(sasa[:n])
 
 
-class BatchedSasaEngine:
-    """Batched engine: many equally-bucketed structures per device call.
+def _batch_cap(n_pad: int) -> int:
+    """Structures per device call, bounded by the [B,N,N] distance matrix
+    and the [B,N,Kc,P] occlusion tile working set."""
+    cap_d2 = max(1, int(1.5e8 // (n_pad * n_pad)))
+    cap_occ = max(1, int(8e7 // (n_pad * _K_CHUNK * 128)))
+    return max(1, min(128, cap_d2, cap_occ))
 
-    Feed with (coords, radii, group_ids) triples; structures are padded to a
-    common N bucket and stacked [B, N, ...].  This is the throughput path for
-    directory/proteome processing (the TPU analog of the reference's
-    rayon-over-files outer loop, main.rs:375).
+
+class BatchedSasaEngine:
+    """Batched engine: many structures per device call, bucketed by size.
+
+    Feed with (coords, radii, group_ids) triples; structures are grouped
+    into padded-N buckets, stacked [B, N, ...] and vmapped through the
+    kernel.  This is the throughput path for directory/proteome processing
+    (the TPU analog of the reference's rayon-over-files outer loop,
+    main.rs:375) - instead of one CPU thread per file, many structures fill
+    one chip per dispatch.
     """
 
     def __init__(self, params: SasaParams | None = None):
@@ -275,14 +285,37 @@ class BatchedSasaEngine:
     def compute(
         self, structures: list[tuple[np.ndarray, np.ndarray, np.ndarray | None]]
     ) -> list[np.ndarray]:
-        params = self.params
         if not structures:
             return []
-        sizes = [s[0].shape[0] for s in structures]
-        n_pad = _round_bucket(max(max(sizes), 1), _N_BUCKETS)
+        results: list[np.ndarray | None] = [None] * len(structures)
+        # Bucket structures by padded size so one dispatch serves many files.
+        buckets: dict[int, list[int]] = {}
+        for i, (coords, _, _) in enumerate(structures):
+            n = coords.shape[0]
+            if n == 0:
+                results[i] = np.zeros(0, np.float32)
+                continue
+            buckets.setdefault(_round_bucket(n, _N_BUCKETS), []).append(i)
+
+        for n_pad, members in sorted(buckets.items()):
+            cap = _batch_cap(n_pad)
+            for lo in range(0, len(members), cap):
+                chunk = members[lo:lo + cap]
+                out = self._run_chunk(n_pad, [structures[i] for i in chunk])
+                for i, sasa in zip(chunk, out):
+                    results[i] = sasa
+        return results  # type: ignore[return-value]
+
+    def _run_chunk(
+        self,
+        n_pad: int,
+        structures: list[tuple[np.ndarray, np.ndarray, np.ndarray | None]],
+    ) -> list[np.ndarray]:
+        params = self.params
         p_pad = _round_up(params.n_points, 128)
         sphere, point_valid = padded_sphere_points(params.n_points, p_pad)
         b = len(structures)
+        sizes = [s[0].shape[0] for s in structures]
 
         c = np.zeros((b, n_pad, 3), dtype=np.float32)
         r = np.zeros((b, n_pad), dtype=np.float32)

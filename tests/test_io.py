@@ -1,0 +1,183 @@
+"""Serialization and write-back tests (reference: tests/io.rs, src/utils/io.rs)."""
+
+import numpy as np
+import pytest
+
+from rustsasa_tpu import SASAOptions, parse_structure
+from rustsasa_tpu.io.pdb import parse_pdb, write_pdb
+from rustsasa_tpu.io.cif import parse_cif, write_cif
+from rustsasa_tpu.io.serialize import (
+    SerializationError,
+    parse_json_result,
+    sasa_result_to_bfactors,
+    sasa_result_to_json,
+    sasa_result_to_xml,
+)
+from rustsasa_tpu.levels import (
+    ChainResult,
+    Level,
+    ProteinResult,
+    ResidueResult,
+    SASAResult,
+)
+
+PDB_3ATOMS = """ATOM      1  N   ALA A   1      20.154  16.967  25.000  1.00 10.00           N
+ATOM      2  CA  ALA A   1      19.030  16.155  25.000  1.00 15.00           C
+ATOM      3  C   ALA A   1      17.948  16.712  25.000  1.00 20.00           C
+END
+"""
+
+PDB_2RES = """ATOM      1  N   ALA A   1      20.154  16.967  25.000  1.00 10.00           N
+ATOM      2  CA  ALA A   1      19.030  16.155  25.000  1.00 15.00           C
+ATOM      3  N   GLY A   2      17.948  16.712  25.000  1.00 20.00           N
+ATOM      4  CA  GLY A   2      16.500  17.000  25.000  1.00 25.00           C
+END
+"""
+
+PDB_2CHAINS = """ATOM      1  N   ALA A   1      20.154  16.967  25.000  1.00 10.00           N
+ATOM      2  CA  ALA A   1      19.030  16.155  25.000  1.00 15.00           C
+ATOM      3  N   GLY B   1      17.948  16.712  25.000  1.00 20.00           N
+ATOM      4  CA  GLY B   1      16.500  17.000  25.000  1.00 25.00           C
+END
+"""
+
+
+def test_bfactor_writeback_atom():
+    s = parse_pdb(PDB_3ATOMS)
+    result = SASAResult(
+        level=Level.ATOM, atoms=np.array([5.0, 10.0, 15.0], np.float32)
+    )
+    bf = sasa_result_to_bfactors(s, result)
+    np.testing.assert_allclose(bf, [5.0, 10.0, 15.0], atol=1e-3)
+
+
+def test_bfactor_writeback_residue():
+    s = parse_pdb(PDB_2RES)
+    result = SASAResult(
+        level=Level.RESIDUE,
+        residues=[
+            ResidueResult(1, "", 100.0, "ALA", False, "A"),
+            ResidueResult(2, "", 200.0, "GLY", False, "A"),
+        ],
+    )
+    bf = sasa_result_to_bfactors(s, result)
+    np.testing.assert_allclose(bf, [100.0, 100.0, 200.0, 200.0])
+
+
+def test_bfactor_writeback_residue_serial_mismatch():
+    s = parse_pdb(PDB_2RES)
+    result = SASAResult(
+        level=Level.RESIDUE,
+        residues=[
+            ResidueResult(9, "", 100.0, "ALA", False, "A"),
+            ResidueResult(2, "", 200.0, "GLY", False, "A"),
+        ],
+    )
+    with pytest.raises(SerializationError):
+        sasa_result_to_bfactors(s, result)
+
+
+def test_bfactor_writeback_chain():
+    s = parse_pdb(PDB_2CHAINS)
+    result = SASAResult(
+        level=Level.CHAIN,
+        chains=[ChainResult("A", 300.0), ChainResult("B", 400.0)],
+    )
+    bf = sasa_result_to_bfactors(s, result)
+    np.testing.assert_allclose(bf, [300.0, 300.0, 400.0, 400.0])
+
+
+def test_bfactor_writeback_protein():
+    s = parse_pdb(PDB_3ATOMS)
+    result = SASAResult(
+        level=Level.PROTEIN, protein=ProteinResult(500.0, 200.0, 300.0)
+    )
+    bf = sasa_result_to_bfactors(s, result)
+    np.testing.assert_allclose(bf, [500.0] * 3)
+
+
+def test_hetatm_excluded_gets_zero_sasa_with_multi_chain():
+    """reference: tests/io.rs:164-224 (serial collisions + HETATM zeros)."""
+    pdb_content = """ATOM      1  N   ALA A   1       0.000   0.000   0.000  1.00 10.00           N
+ATOM      2  CA  ALA A   1       1.458   0.000   0.000  1.00 10.00           C
+ATOM      3  N   GLY A   2       3.000   0.000   0.000  1.00 10.00           N
+ATOM      4  CA  GLY A   2       4.458   0.000   0.000  1.00 10.00           C
+ATOM      5  N   ALA B   1      10.000   0.000   0.000  1.00 10.00           N
+ATOM      6  CA  ALA B   1      11.458   0.000   0.000  1.00 10.00           C
+HETATM    7  O   HOH A   3       6.000   0.000   0.000  1.00 10.00           O
+HETATM    8  O   HOH B   2      13.000   0.000   0.000  1.00 10.00           O
+END
+"""
+    s = parse_pdb(pdb_content)
+    result = (
+        SASAOptions.residue_level().with_allow_vdw_fallback(True).process(s)
+    )
+    for res in result.residues:
+        if res.name == "HOH":
+            assert res.value == 0.0
+        else:
+            assert res.value > 0.0
+    a1 = [r for r in result.residues if r.chain_id == "A" and r.serial_number == 1]
+    b1 = [r for r in result.residues if r.chain_id == "B" and r.serial_number == 1]
+    assert len(a1) == 1
+    assert len(b1) == 1
+
+
+def test_json_schema_roundtrip():
+    result = SASAResult(
+        level=Level.RESIDUE,
+        residues=[ResidueResult(7, "A", 12.5, "SER", True, "B")],
+    )
+    text = sasa_result_to_json(result)
+    assert (
+        text == '{"Residue":[{"serial_number":7,"insertion_code":"A",'
+        '"value":12.5,"name":"SER","is_polar":true,"chain_id":"B"}]}'
+    )
+    back = parse_json_result(text)
+    assert back.residues[0].value == 12.5
+    assert back.residues[0].is_polar is True
+
+
+def test_json_atom_and_protein_shapes():
+    atom = SASAResult(level=Level.ATOM, atoms=np.array([1.5, 0.0], np.float32))
+    assert sasa_result_to_json(atom) == '{"Atom":[1.5,0.0]}'
+    prot = SASAResult(
+        level=Level.PROTEIN, protein=ProteinResult(500.0, 200.0, 300.0)
+    )
+    assert (
+        sasa_result_to_json(prot)
+        == '{"Protein":{"global_total":500.0,"polar_total":200.0,'
+        '"non_polar_total":300.0}}'
+    )
+
+
+def test_xml_shapes():
+    chain = SASAResult(level=Level.CHAIN, chains=[ChainResult("A", 3.25)])
+    assert (
+        sasa_result_to_xml(chain)
+        == "<Chain><name>A</name><value>3.25</value></Chain>"
+    )
+
+
+def test_pdb_roundtrip_with_bfactors():
+    s = parse_pdb(PDB_2RES)
+    text = write_pdb(s, np.array([1.0, 2.0, 3.0, 4.0], np.float32))
+    s2 = parse_pdb(text)
+    np.testing.assert_allclose(s2.atoms.bfactor, [1.0, 2.0, 3.0, 4.0])
+    assert list(s2.atoms.name) == ["N", "CA", "N", "CA"]
+    np.testing.assert_allclose(s2.atoms.coords, s.atoms.coords, atol=1e-3)
+
+
+def test_cif_roundtrip_with_bfactors():
+    s = parse_pdb(PDB_2CHAINS)
+    text = write_cif(s, np.array([1.0, 2.0, 3.0, 4.0], np.float32))
+    s2 = parse_cif(text)
+    np.testing.assert_allclose(s2.atoms.bfactor, [1.0, 2.0, 3.0, 4.0])
+    assert [c.id for c in s2.chains] == ["A", "B"]
+    np.testing.assert_allclose(s2.atoms.coords, s.atoms.coords, atol=1e-3)
+
+
+def test_parse_structure_sniffs_format():
+    s = parse_structure(PDB_3ATOMS.encode())
+    assert s.format == "pdb"
+    assert s.n_atoms() == 3
