@@ -3,7 +3,7 @@
 Replaces the reference's CPU-idiomatic design (ragged per-atom neighbor
 Vecs + SIMD early-exit kernel, reference: src/lib.rs:69-224,
 src/structures/spatial_grid.rs) with a fixed-shape, masked, fully batched
-formulation that XLA can tile onto the TPU:
+formulation that XLA/Pallas can tile onto the TPU:
 
   1. Pairwise squared distances via the |a|^2 + |b|^2 - 2ab^T expansion
      (one [N,3]x[3,N] matmul -> MXU) instead of a cell-list walk.
@@ -14,12 +14,15 @@ formulation that XLA can tile onto the TPU:
      truncation, K is re-bucketed and the kernel re-run on overflow.
   3. Occlusion: point p of atom i is occluded iff
      dot(s_p, v_ij) < (t_j - |v_ij|^2 - r_i_eff^2) / (2 r_i_eff)
-     with t_j = (r_j + probe)^2 (reference: lib.rs:136-146), evaluated as a
-     masked [N, K, P] contraction, scanned over K-chunks so the working set
-     stays in VMEM-sized tiles.  No data-dependent early exit - arithmetic
-     density replaces branching on TPU.
+     with t_j = (r_j + probe)^2 (reference: lib.rs:136-146), evaluated
+     either by the Pallas VMEM-resident tile kernel (ops/pallas_kernel.py,
+     the TPU fast path) or by a masked K-chunked XLA scan (portable
+     fallback).  No data-dependent early exit - arithmetic density replaces
+     branching on TPU.
 
 All shapes are static per (N_pad, K, P_pad) bucket; jit caches per bucket.
+Batches of structures run as one flattened kernel launch: per-structure
+neighbor phases are vmapped, then [B, N] collapses into the atom axis.
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DEFAULT_N_POINTS, DEFAULT_PROBE_RADIUS
+from . import pallas_kernel
 from .sphere import padded_sphere_points
 
 # Sentinel for "never occludes" limits and masked top-k scores.
@@ -43,12 +47,13 @@ _NEG_BIG = np.float32(-1e30)
 # occlusion test recomputes v exactly, so this is always safe.
 _CUTOFF_SLACK = np.float32(1e-3)
 
-# Size of the neighbor-axis chunk the occlusion scan materializes at once.
+# Size of the neighbor-axis chunk the XLA occlusion scan materializes.
 _K_CHUNK = 16
 
-# Atom-count buckets (1.5x-ish growth bounds recompilation and padding waste).
+# Atom-count buckets (1.5x-ish growth bounds recompilation and padding
+# waste).  All >= 128 are multiples of the Pallas ATOM_TILE.
 _N_BUCKETS = [
-    8, 16, 32, 64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072,
+    8, 16, 32, 64, 128, 256, 384, 512, 768, 1024, 1536, 2048, 3072,
     4096, 6144, 8192, 12288, 16384, 24576, 32768, 49152, 65536,
 ]
 _K_BUCKETS = [16, 32, 64, 96, 128, 160, 192, 256, 320, 384, 512]
@@ -73,6 +78,19 @@ class SasaParams:
     n_points: int = DEFAULT_N_POINTS
 
 
+def resolve_backend(backend: str, n_pad: int, p_pad: int) -> str:
+    """Pick the occlusion backend: Pallas on TPU-like devices, else XLA."""
+    if backend != "auto":
+        return backend
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    if platform != "cpu" and pallas_kernel.supports(n_pad, p_pad):
+        return "pallas"
+    return "xla"
+
+
 def _pairwise_d2(coords: jnp.ndarray) -> jnp.ndarray:
     """Squared distance matrix via the matmul expansion (MXU path).
 
@@ -80,7 +98,7 @@ def _pairwise_d2(coords: jnp.ndarray) -> jnp.ndarray:
     to bf16, and with |coords| ~ 1e2 the resulting d^2 error (~1e2 A^2)
     would silently drop true neighbors.  HIGHEST uses multi-pass bf16
     (f32-accurate) on the MXU; the contraction dim is only 3, so the cost
-    is irrelevant next to the occlusion scan.
+    is irrelevant next to the occlusion loop.
     """
     sq = jnp.sum(coords * coords, axis=-1)
     cross = jnp.dot(
@@ -91,54 +109,16 @@ def _pairwise_d2(coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(d2, 0.0)
 
 
-def _occlusion_scan(
-    v: jnp.ndarray,  # [N, K, 3] center - neighbor
-    limit: jnp.ndarray,  # [N, K] occlusion threshold, -BIG where invalid
-    sphere: jnp.ndarray,  # [P, 3]
-) -> jnp.ndarray:
-    """OR-accumulate occlusion over K-chunks -> [N, P] bool."""
-    n, k, _ = v.shape
-    p = sphere.shape[0]
-    kc = min(_K_CHUNK, k)
-    n_chunks = _round_up(k, kc) // kc
-    pad_k = n_chunks * kc
-    if pad_k != k:
-        v = jnp.pad(v, ((0, 0), (0, pad_k - k), (0, 0)))
-        limit = jnp.pad(limit, ((0, 0), (0, pad_k - k)), constant_values=_NEG_BIG)
-    # [chunks, N, kc, 3] / [chunks, N, kc]
-    v_ch = v.reshape(n, n_chunks, kc, 3).transpose(1, 0, 2, 3)
-    lim_ch = limit.reshape(n, n_chunks, kc).transpose(1, 0, 2)
-
-    def body(occ, xs):
-        v_c, lim_c = xs
-        # dot(s_p, v_ij): [N, kc, P].  HIGHEST precision: v components are
-        # O(cutoff) ~ 6.5 A and the occlusion limit comparison needs f32.
-        dots = jnp.einsum(
-            "nkd,pd->nkp", v_c, sphere,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        occ = occ | jnp.any(dots < lim_c[:, :, None], axis=1)
-        return occ, None
-
-    occ0 = jnp.zeros((n, p), dtype=bool)
-    occ, _ = jax.lax.scan(body, occ0, (v_ch, lim_ch))
-    return occ
-
-
-def _sasa_kernel(
-    coords: jnp.ndarray,  # [N, 3] f32
-    radii: jnp.ndarray,  # [N] f32
-    group_id: jnp.ndarray,  # [N] i32 (equal ids never occlude each other)
+def _neighbor_phase(
+    coords: jnp.ndarray,  # [N, 3]
+    radii: jnp.ndarray,  # [N]
+    group_id: jnp.ndarray,  # [N] i32
     valid: jnp.ndarray,  # [N] bool
-    sphere: jnp.ndarray,  # [P, 3] f32
-    point_valid: jnp.ndarray,  # [P] bool
     probe: jnp.ndarray,  # scalar f32
     *,
     k: int,
-    n_points: int,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Single-structure padded SASA. Returns (sasa [N], max_neighbor_count)."""
+):
+    """Candidate selection -> (v [N,K,3], limit [N,K], counts [N], max_count)."""
     n = coords.shape[0]
     d2 = _pairwise_d2(coords)
 
@@ -155,7 +135,7 @@ def _sasa_kernel(
 
     k_eff = min(k, n)
     score = jnp.where(cand, -d2, _NEG_BIG)
-    _, nbr_idx = jax.lax.top_k(score, k_eff)  # [N, k_eff]
+    _, nbr_idx = jax.lax.top_k(score, k_eff)  # [N, k_eff] valid-first
     nbr_valid = jnp.take_along_axis(cand, nbr_idx, axis=1)
 
     nc = coords[nbr_idx]  # [N, K, 3]
@@ -167,33 +147,120 @@ def _sasa_kernel(
     thr = (nr + probe) ** 2
     limit = (thr - v2 - r2[:, None]) / (2.0 * r_eff[:, None])
     limit = jnp.where(nbr_valid, limit, _NEG_BIG)
+    return v, limit, counts, max_count
 
-    occluded = _occlusion_scan(v, limit, sphere)  # [N, P]
+
+def _occlusion_scan(
+    v: jnp.ndarray,  # [N, K, 3] center - neighbor
+    limit: jnp.ndarray,  # [N, K] occlusion threshold, -BIG where invalid
+    sphere: jnp.ndarray,  # [P, 3]
+) -> jnp.ndarray:
+    """XLA fallback: OR-accumulate occlusion over K-chunks -> [N, P] bool."""
+    n, k, _ = v.shape
+    p = sphere.shape[0]
+    kc = min(_K_CHUNK, k)
+    n_chunks = _round_up(k, kc) // kc
+    pad_k = n_chunks * kc
+    if pad_k != k:
+        v = jnp.pad(v, ((0, 0), (0, pad_k - k), (0, 0)))
+        limit = jnp.pad(limit, ((0, 0), (0, pad_k - k)), constant_values=_NEG_BIG)
+    v_ch = v.reshape(n, n_chunks, kc, 3).transpose(1, 0, 2, 3)
+    lim_ch = limit.reshape(n, n_chunks, kc).transpose(1, 0, 2)
+
+    def body(occ, xs):
+        v_c, lim_c = xs
+        # dot(s_p, v_ij): [N, kc, P] in f32 (see _pairwise_d2 note).
+        dots = jnp.einsum(
+            "nkd,pd->nkp", v_c, sphere,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        occ = occ | jnp.any(dots < lim_c[:, :, None], axis=1)
+        return occ, None
+
+    # Derive the initial carry from the data so its varying-mesh-axes type
+    # matches inside shard_map (a constant zeros carry would be replicated
+    # while the body output varies over the mesh axis).
+    occ0 = jnp.zeros((n, p), dtype=bool) | (v[:, 0, 0:1] != v[:, 0, 0:1])
+    occ, _ = jax.lax.scan(body, occ0, (v_ch, lim_ch))
+    return occ
+
+
+def _area_factor(radii, valid, probe, n_points: int):
+    r_eff = radii + probe
+    factor = 4.0 * np.float32(np.pi) * r_eff * r_eff * np.float32(1.0 / n_points)
+    return jnp.where(valid, factor, 0.0)
+
+
+def _occlusion_sasa(
+    v, limit, counts, radii, valid, sphere, point_valid, probe,
+    *, n_points: int, backend: str,
+):
+    """Dispatch occlusion + area: Pallas tile kernel or XLA scan.
+
+    All inputs may be batched-flat: [M, K, 3] where M = B * N_pad.
+    """
+    m, k_eff = limit.shape
+    area = _area_factor(radii, valid, probe, n_points)
+    if backend.startswith("pallas") and m % pallas_kernel.ATOM_TILE == 0:
+        p = sphere.shape[0]
+        packed = jnp.zeros((p, 128), dtype=jnp.float32)
+        packed = packed.at[:, 0:3].set(sphere)
+        packed = packed.at[:, 3].set(point_valid.astype(jnp.float32))
+        n_tiles = m // pallas_kernel.ATOM_TILE
+        tile_kmax = jnp.clip(
+            counts.reshape(n_tiles, pallas_kernel.ATOM_TILE).max(axis=1),
+            0,
+            k_eff,
+        ).astype(jnp.int32)
+        return pallas_kernel.occlusion_sasa_pallas(
+            v, limit, area, packed, tile_kmax,
+            interpret=(backend == "pallas_interpret"),
+        )
+    occluded = _occlusion_scan(v, limit, sphere)  # [M, P]
     accessible = jnp.sum(
         point_valid[None, :] & ~occluded, axis=1, dtype=jnp.float32
     )
-    area = 4.0 * np.float32(np.pi) * r2 * accessible * np.float32(1.0 / n_points)
-    return jnp.where(valid, area, 0.0), max_count
+    return area * accessible
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "n_points"), donate_argnums=()
-)
-def _sasa_single(coords, radii, group_id, valid, sphere, point_valid, probe, *, k, n_points):
-    return _sasa_kernel(
-        coords, radii, group_id, valid, sphere, point_valid, probe,
-        k=k, n_points=n_points,
+@functools.partial(jax.jit, static_argnames=("k", "n_points", "backend"))
+def _sasa_single(
+    coords, radii, group_id, valid, sphere, point_valid, probe,
+    *, k, n_points, backend,
+):
+    v, limit, counts, max_count = _neighbor_phase(
+        coords, radii, group_id, valid, probe, k=k
     )
+    sasa = _occlusion_sasa(
+        v, limit, counts, radii, valid, sphere, point_valid, probe,
+        n_points=n_points, backend=backend,
+    )
+    return sasa, max_count
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_points"))
-def _sasa_batched(coords, radii, group_id, valid, sphere, point_valid, probe, *, k, n_points):
-    """vmap over a [B, N, ...] batch of equally-padded structures."""
-    fn = functools.partial(_sasa_kernel, k=k, n_points=n_points)
-    sasa, max_counts = jax.vmap(
-        fn, in_axes=(0, 0, 0, 0, None, None, None)
-    )(coords, radii, group_id, valid, sphere, point_valid, probe)
-    return sasa, jnp.max(max_counts)
+@functools.partial(jax.jit, static_argnames=("k", "n_points", "backend"))
+def _sasa_batched(
+    coords, radii, group_id, valid, sphere, point_valid, probe,
+    *, k, n_points, backend,
+):
+    """[B, N, ...] batch: vmapped neighbor phase + one flattened occlusion."""
+    b, n = radii.shape
+    v, limit, counts, max_counts = jax.vmap(
+        functools.partial(_neighbor_phase, k=k),
+        in_axes=(0, 0, 0, 0, None),
+    )(coords, radii, group_id, valid, probe)
+    k_eff = limit.shape[-1]
+    sasa_flat = _occlusion_sasa(
+        v.reshape(b * n, k_eff, 3),
+        limit.reshape(b * n, k_eff),
+        counts.reshape(b * n),
+        radii.reshape(b * n),
+        valid.reshape(b * n),
+        sphere, point_valid, probe,
+        n_points=n_points, backend=backend,
+    )
+    return sasa_flat.reshape(b, n), jnp.max(max_counts)
 
 
 def _initial_k(n: int) -> int:
@@ -210,6 +277,7 @@ def calculate_sasa_internal(
     group_ids: np.ndarray | None = None,
     probe_radius: float = DEFAULT_PROBE_RADIUS,
     n_points: int = DEFAULT_N_POINTS,
+    backend: str = "auto",
 ) -> np.ndarray:
     """Per-atom SASA for one structure (reference API: lib.rs:249-298).
 
@@ -218,6 +286,7 @@ def calculate_sasa_internal(
     group_ids: optional [N] int ids; atoms sharing an id never occlude each
       other (reference semantics: Atom.id equality skip, lib.rs:124).  When
       omitted every atom gets a distinct id.
+    backend: 'auto' | 'xla' | 'pallas' | 'pallas_interpret'.
     """
     coords = np.ascontiguousarray(coords, dtype=np.float32)
     radii = np.ascontiguousarray(radii, dtype=np.float32)
@@ -234,6 +303,7 @@ def calculate_sasa_internal(
     n_pad = _round_bucket(n, _N_BUCKETS)
     p_pad = _round_up(n_points, 128)
     sphere, point_valid = padded_sphere_points(n_points, p_pad)
+    backend = resolve_backend(backend, n_pad, p_pad)
 
     c = np.zeros((n_pad, 3), dtype=np.float32)
     c[:n] = coords
@@ -241,7 +311,6 @@ def calculate_sasa_internal(
     r[:n] = radii
     g = np.full(n_pad, -1, dtype=np.int32)
     g[:n] = gid
-    # Padding atoms share group id -1 but are masked out via `valid` anyway.
     valid = np.zeros(n_pad, dtype=bool)
     valid[:n] = True
 
@@ -249,7 +318,8 @@ def calculate_sasa_internal(
     probe = np.float32(probe_radius)
     while True:
         sasa, max_count = _sasa_single(
-            c, r, g, valid, sphere, point_valid, probe, k=k, n_points=n_points
+            c, r, g, valid, sphere, point_valid, probe,
+            k=k, n_points=n_points, backend=backend,
         )
         mc = int(max_count)
         if mc <= k:
@@ -262,7 +332,7 @@ def calculate_sasa_internal(
 
 def _batch_cap(n_pad: int) -> int:
     """Structures per device call, bounded by the [B,N,N] distance matrix
-    and the [B,N,Kc,P] occlusion tile working set."""
+    and the flattened occlusion working set."""
     cap_d2 = max(1, int(1.5e8 // (n_pad * n_pad)))
     cap_occ = max(1, int(8e7 // (n_pad * _K_CHUNK * 128)))
     return max(1, min(128, cap_d2, cap_occ))
@@ -272,15 +342,16 @@ class BatchedSasaEngine:
     """Batched engine: many structures per device call, bucketed by size.
 
     Feed with (coords, radii, group_ids) triples; structures are grouped
-    into padded-N buckets, stacked [B, N, ...] and vmapped through the
-    kernel.  This is the throughput path for directory/proteome processing
-    (the TPU analog of the reference's rayon-over-files outer loop,
-    main.rs:375) - instead of one CPU thread per file, many structures fill
-    one chip per dispatch.
+    into padded-N buckets, stacked [B, N, ...] and run as one flattened
+    kernel launch.  This is the throughput path for directory/proteome
+    processing (the TPU analog of the reference's rayon-over-files outer
+    loop, main.rs:375) - instead of one CPU thread per file, many
+    structures fill one chip per dispatch.
     """
 
-    def __init__(self, params: SasaParams | None = None):
+    def __init__(self, params: SasaParams | None = None, backend: str = "auto"):
         self.params = params or SasaParams()
+        self.backend = backend
 
     def compute(
         self, structures: list[tuple[np.ndarray, np.ndarray, np.ndarray | None]]
@@ -314,6 +385,7 @@ class BatchedSasaEngine:
         params = self.params
         p_pad = _round_up(params.n_points, 128)
         sphere, point_valid = padded_sphere_points(params.n_points, p_pad)
+        backend = resolve_backend(self.backend, n_pad, p_pad)
         b = len(structures)
         sizes = [s[0].shape[0] for s in structures]
 
@@ -337,7 +409,7 @@ class BatchedSasaEngine:
         while True:
             sasa, max_count = _sasa_batched(
                 c, r, g, valid, sphere, point_valid, probe,
-                k=k, n_points=params.n_points,
+                k=k, n_points=params.n_points, backend=backend,
             )
             mc = int(max_count)
             if mc <= k:

@@ -1,0 +1,51 @@
+"""Pallas occlusion kernel parity tests (interpret mode on CPU).
+
+The Pallas tile kernel must agree with the XLA scan path exactly (both are
+f32 with the same comparison semantics).
+"""
+
+import numpy as np
+import pytest
+
+from rustsasa_tpu.ops.engine import BatchedSasaEngine, SasaParams, calculate_sasa_internal
+
+
+def random_cluster(n, seed, spread=12.0):
+    rng = np.random.default_rng(seed)
+    coords = rng.uniform(0, spread, size=(n, 3)).astype(np.float32) + 100.0
+    radii = rng.uniform(1.4, 1.9, size=n).astype(np.float32)
+    return coords, radii
+
+
+@pytest.mark.parametrize("n", [128, 300])
+def test_pallas_matches_xla_single(n):
+    coords, radii = random_cluster(n, seed=n)
+    ref = calculate_sasa_internal(coords, radii, backend="xla")
+    out = calculate_sasa_internal(coords, radii, backend="pallas_interpret")
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+    assert (ref > 0).any()
+
+
+def test_pallas_matches_xla_batched():
+    structures = []
+    for i, n in enumerate([100, 180, 256]):
+        coords, radii = random_cluster(n, seed=10 + i)
+        structures.append((coords, radii, None))
+    xla = BatchedSasaEngine(SasaParams(), backend="xla").compute(structures)
+    pal = BatchedSasaEngine(
+        SasaParams(), backend="pallas_interpret"
+    ).compute(structures)
+    for a, b in zip(xla, pal):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_pallas_n_points_variants():
+    coords, radii = random_cluster(128, seed=3)
+    for n_points in (60, 100, 256):
+        ref = calculate_sasa_internal(
+            coords, radii, n_points=n_points, backend="xla"
+        )
+        out = calculate_sasa_internal(
+            coords, radii, n_points=n_points, backend="pallas_interpret"
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-3)
