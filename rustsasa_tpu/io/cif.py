@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .structure import AtomTable, Structure, build_hierarchy, infer_element
+from .structure import AtomTable, Structure, infer_element
 
 
 class CIFParseError(ValueError):
@@ -64,12 +64,11 @@ def parse_cif(content: str | bytes, source_path: str = "") -> Structure:
 
     if not data_rows or not cols:
         return Structure(
-            atoms=AtomTable.empty(), chains=[], source_path=source_path,
-            format="cif",
+            atoms=AtomTable.empty(), source_path=source_path, format="cif"
         )
 
     n_cols = len(cols)
-    tokens = np.array("\n".join(data_rows).split(), dtype=object)
+    tokens = np.array("\n".join(data_rows).split())
     if tokens.size % n_cols != 0:
         # Rare: quoted values containing whitespace; repair row by row.
         import shlex
@@ -81,7 +80,7 @@ def parse_cif(content: str | bytes, source_path: str = "") -> Structure:
                 parts = shlex.split(row)
             if len(parts) == n_cols:
                 fixed.append(parts)
-        tokens = np.array([t for row in fixed for t in row], dtype=object)
+        tokens = np.array([t for row in fixed for t in row])
         if tokens.size == 0 or tokens.size % n_cols != 0:
             raise CIFParseError(
                 f"atom_site loop has ragged rows in {source_path or '<memory>'}"
@@ -155,23 +154,19 @@ def parse_cif(content: str | bytes, source_path: str = "") -> Structure:
                     out[k] = out[k - 1] + 1 if k else default
             return out
 
-    def clean_str(arr: np.ndarray) -> np.ndarray:
+    def clean_str(arr: np.ndarray, width: int = 8) -> np.ndarray:
         out = np.where(_tok_missing(arr), "", arr)
-        # Strip mmCIF quoting.
-        return np.array(
-            [v[1:-1] if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"" else v
-             for v in out],
-            dtype=object,
-        )
+        # Strip mmCIF quoting (leading/trailing quote characters only).
+        return np.char.strip(out.astype(f"U{width}"), "'\"")
 
     name_clean = clean_str(name)
     if element is None:
         element_clean = np.array(
             [infer_element(f" {nm}" if len(nm) < 4 else nm) for nm in name_clean],
-            dtype=object,
+            dtype="U4",
         )
     else:
-        element_clean = np.char.upper(clean_str(element).astype(str)).astype(object)
+        element_clean = np.char.upper(clean_str(element, 4))
 
     table = AtomTable(
         coords=np.stack(
@@ -179,20 +174,17 @@ def parse_cif(content: str | bytes, source_path: str = "") -> Structure:
         ).astype(np.float32),
         serial=to_int(serial_raw),
         name=name_clean,
-        alt_loc=clean_str(alt),
+        alt_loc=clean_str(alt, 4),
         resname=clean_str(resname),
-        chain_id=clean_str(chain),
+        chain_id=clean_str(chain, 4),
         res_serial=to_int(res_serial_raw),
-        icode=clean_str(icode),
+        icode=clean_str(icode, 4),
         occupancy=to_float(occ, 1.0).astype(np.float32),
         bfactor=to_float(bf, 0.0).astype(np.float32),
         element=element_clean,
         hetero=(group == "HETATM"),
     )
-    return Structure(
-        atoms=table, chains=build_hierarchy(table), source_path=source_path,
-        format="cif",
-    )
+    return Structure(atoms=table, source_path=source_path, format="cif")
 
 
 def write_cif(structure: Structure, bfactors: np.ndarray | None = None) -> str:

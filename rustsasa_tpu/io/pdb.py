@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .structure import AtomTable, Structure, build_hierarchy, infer_element
+from .structure import AtomTable, Structure, infer_element
 
 
 class PDBParseError(ValueError):
@@ -53,7 +53,7 @@ def _field_int(mat: np.ndarray, lo: int, hi: int) -> np.ndarray:
 
 def _field_str(mat: np.ndarray, lo: int, hi: int) -> np.ndarray:
     raw = np.ascontiguousarray(mat[:, lo:hi]).view(f"S{hi - lo}").ravel()
-    return np.char.strip(raw.astype(str)).astype(object)
+    return np.char.strip(raw.astype(str))
 
 
 def parse_pdb(content: str | bytes, source_path: str = "") -> Structure:
@@ -74,8 +74,7 @@ def parse_pdb(content: str | bytes, source_path: str = "") -> Structure:
 
     if not atom_lines:
         return Structure(
-            atoms=AtomTable.empty(), chains=[], source_path=source_path,
-            format="pdb",
+            atoms=AtomTable.empty(), source_path=source_path, format="pdb"
         )
 
     n = len(atom_lines)
@@ -90,7 +89,7 @@ def parse_pdb(content: str | bytes, source_path: str = "") -> Structure:
     hetero = np.char.startswith(record, b"HETATM")
     serial = _field_int(mat, 6, 11)
     raw_name = np.ascontiguousarray(mat[:, 12:16]).view("S4").ravel().astype(str)
-    name = np.char.strip(raw_name).astype(object)
+    name = np.char.strip(raw_name)
     alt_loc = _field_str(mat, 16, 17)
     resname = _field_str(mat, 17, 20)
     chain_id = _field_str(mat, 21, 22)
@@ -101,12 +100,12 @@ def parse_pdb(content: str | bytes, source_path: str = "") -> Structure:
     z = _field_float(mat, 46, 54)
     occupancy = _field_float(mat, 54, 60, default=1.0)
     bfactor = _field_float(mat, 60, 66, default=0.0)
-    element = _field_str(mat, 76, 78)
-    element = np.char.upper(element.astype(str)).astype(object)
+    element = np.char.upper(_field_str(mat, 76, 78))
 
     # Element fallback: infer from the raw atom-name field where blank.
     missing = element == ""
     if missing.any():
+        element = element.astype("U4")
         for i in np.nonzero(missing)[0]:
             element[i] = infer_element(raw_name[i])
 
@@ -124,10 +123,7 @@ def parse_pdb(content: str | bytes, source_path: str = "") -> Structure:
         element=element,
         hetero=hetero,
     )
-    return Structure(
-        atoms=table, chains=build_hierarchy(table), source_path=source_path,
-        format="pdb",
-    )
+    return Structure(atoms=table, source_path=source_path, format="pdb")
 
 
 def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:

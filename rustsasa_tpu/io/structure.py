@@ -25,19 +25,24 @@ import numpy as np
 
 @dataclass
 class AtomTable:
-    """Struct-of-arrays atom records for one model."""
+    """Struct-of-arrays atom records for one model.
+
+    String columns use fixed-width numpy unicode dtypes (U4/U8) rather than
+    object arrays: vectorized selection and factorization over millions of
+    atoms never touches per-atom Python objects.
+    """
 
     coords: np.ndarray  # [N, 3] float32
     serial: np.ndarray  # [N] int64 atom serial number
-    name: np.ndarray  # [N] object, atom name e.g. "CA"
-    alt_loc: np.ndarray  # [N] object, '' when absent
-    resname: np.ndarray  # [N] object
-    chain_id: np.ndarray  # [N] object
+    name: np.ndarray  # [N] U8, atom name e.g. "CA"
+    alt_loc: np.ndarray  # [N] U4, '' when absent
+    resname: np.ndarray  # [N] U8
+    chain_id: np.ndarray  # [N] U4
     res_serial: np.ndarray  # [N] int64 residue sequence number
-    icode: np.ndarray  # [N] object, insertion code, '' when absent
+    icode: np.ndarray  # [N] U4, insertion code, '' when absent
     occupancy: np.ndarray  # [N] float32
     bfactor: np.ndarray  # [N] float32
-    element: np.ndarray  # [N] object, uppercase symbol ('' if unknown)
+    element: np.ndarray  # [N] U4, uppercase symbol ('' if unknown)
     hetero: np.ndarray  # [N] bool, HETATM flag
 
     def __len__(self) -> int:
@@ -45,19 +50,18 @@ class AtomTable:
 
     @staticmethod
     def empty() -> "AtomTable":
-        obj = lambda: np.empty(0, dtype=object)  # noqa: E731
         return AtomTable(
             coords=np.zeros((0, 3), np.float32),
             serial=np.zeros(0, np.int64),
-            name=obj(),
-            alt_loc=obj(),
-            resname=obj(),
-            chain_id=obj(),
+            name=np.empty(0, dtype="U8"),
+            alt_loc=np.empty(0, dtype="U4"),
+            resname=np.empty(0, dtype="U8"),
+            chain_id=np.empty(0, dtype="U4"),
             res_serial=np.zeros(0, np.int64),
-            icode=obj(),
+            icode=np.empty(0, dtype="U4"),
             occupancy=np.zeros(0, np.float32),
             bfactor=np.zeros(0, np.float32),
-            element=obj(),
+            element=np.empty(0, dtype="U4"),
             hetero=np.zeros(0, bool),
         )
 
@@ -96,12 +100,23 @@ class Chain:
 
 @dataclass
 class Structure:
-    """One parsed structure: flat atom table + hierarchy views."""
+    """One parsed structure: flat atom table + lazy hierarchy views.
+
+    The hierarchy (a per-atom Python walk) is only materialized when needed
+    - structure writers and b-factor write-back.  The compute path uses
+    vectorized selection over the flat table and never builds it.
+    """
 
     atoms: AtomTable
-    chains: list[Chain]
     source_path: str = ""
     format: str = ""  # 'pdb' or 'cif'
+    _chains: list[Chain] | None = None
+
+    @property
+    def chains(self) -> list[Chain]:
+        if self._chains is None:
+            self._chains = build_hierarchy(self.atoms)
+        return self._chains
 
     def n_atoms(self) -> int:
         return len(self.atoms)
