@@ -28,8 +28,27 @@ def _sniff_format(path: str, content: bytes) -> str:
     return "pdb"
 
 
-def read_structure(path: str) -> Structure:
-    """Read a PDB or mmCIF file (optionally .gz) into a Structure."""
+_USE_NATIVE = os.environ.get("RUSTSASA_TPU_NATIVE", "1") != "0"
+
+
+def read_structure(path: str, *, native: bool | None = None) -> Structure:
+    """Read a PDB or mmCIF file (optionally .gz) into a Structure.
+
+    Uses the native C++ parser when available (RUSTSASA_TPU_NATIVE=0 to
+    disable); transparently falls back to the Python parsers.
+    """
+    if native is None:
+        native = _USE_NATIVE
+    if native and os.path.isfile(path):
+        from ..native import parse_file_native
+
+        try:
+            parsed = parse_file_native(path)
+        except ValueError as e:
+            raise StructureReadError(str(e)) from e
+        if parsed is not None:
+            table, fmt = parsed
+            return Structure(atoms=table, source_path=path, format=fmt)
     try:
         if path.endswith(".gz"):
             with gzip.open(path, "rb") as f:
