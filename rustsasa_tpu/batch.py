@@ -100,6 +100,7 @@ def process_directory(
     workers: int | None = None,
     progress: bool = True,
     engine: BatchedSasaEngine | None = None,
+    wave_size: int = 1024,
 ) -> BatchReport:
     """Process every structure file in input_dir -> output_dir.
 
@@ -132,7 +133,7 @@ def process_directory(
         SasaParams(probe_radius=options.probe_radius, n_points=options.n_points)
     )
 
-    # Phase 1: parse + select on host worker threads.
+    # Parse + select on host worker threads (native parser releases the GIL).
     def load(path):
         try:
             structure = read_structure(path)
@@ -141,20 +142,7 @@ def process_directory(
         except Exception as e:  # noqa: BLE001 - per-file isolation
             return (path, None, None, f"Error processing {os.path.basename(path)}: {e}")
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        loaded = list(pool.map(load, files))
-
-    good = [(p, s, sel) for (p, s, sel, err) in loaded if err is None]
-    for _, _, _, err in loaded:
-        if err is not None:
-            report.errors.append(err)
-            bar.tick()
-
-    # Phase 2: batched device compute over all successfully parsed files.
-    triples = [(sel.coords, sel.radii, sel.group_ids) for (_, _, sel) in good]
-    atom_sasas = engine.compute(triples)
-
-    # Phase 3: aggregate + serialize + write on host worker threads.
+    # Aggregate + serialize + write on host worker threads.
     def emit(args):
         (path, structure, sel), atom_sasa = args
         try:
@@ -168,13 +156,28 @@ def process_directory(
         except Exception as e:  # noqa: BLE001 - per-file isolation
             return f"Error processing {os.path.basename(path)}: {e}"
 
+    # Waves bound peak memory on huge corpora and keep the device fed with
+    # large bucketed batches (the TPU analog of the reference's
+    # rayon-over-files loop, main.rs:375).
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        for err in pool.map(emit, zip(good, atom_sasas)):
-            if err is None:
-                report.n_ok += 1
-            else:
-                report.errors.append(err)
-            bar.tick()
+        for lo in range(0, len(files), wave_size):
+            wave = files[lo:lo + wave_size]
+            loaded = list(pool.map(load, wave))
+            good = [(p, s, sel) for (p, s, sel, err) in loaded if err is None]
+            for _, _, _, err in loaded:
+                if err is not None:
+                    report.errors.append(err)
+                    bar.tick()
+            triples = [
+                (sel.coords, sel.radii, sel.group_ids) for (_, _, sel) in good
+            ]
+            atom_sasas = engine.compute(triples)
+            for err in pool.map(emit, zip(good, atom_sasas)):
+                if err is None:
+                    report.n_ok += 1
+                else:
+                    report.errors.append(err)
+                bar.tick()
 
     report.elapsed_s = time.time() - t0
     return report

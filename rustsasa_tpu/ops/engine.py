@@ -399,6 +399,10 @@ class BatchedSasaEngine:
             r[i, :n] = radii
             if gids is None:
                 g[i, :n] = np.arange(n, dtype=np.int32)
+            elif gids.dtype == np.int32:
+                # Already-dense ids (the selection layer emits these);
+                # only equality matters, no re-factorization needed.
+                g[i, :n] = gids
             else:
                 _, inv = np.unique(np.asarray(gids), return_inverse=True)
                 g[i, :n] = inv.astype(np.int32)
