@@ -101,6 +101,7 @@ def process_directory(
     progress: bool = True,
     engine: BatchedSasaEngine | None = None,
     wave_size: int = 1024,
+    file_filter: set[str] | None = None,
 ) -> BatchReport:
     """Process every structure file in input_dir -> output_dir.
 
@@ -124,6 +125,7 @@ def process_directory(
         os.path.join(input_dir, f)
         for f in entries
         if os.path.isfile(os.path.join(input_dir, f))
+        and (file_filter is None or f in file_filter)
     ]
     report.n_files = len(files)
     bar = _Progress(len(files), progress)

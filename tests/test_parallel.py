@@ -54,3 +54,36 @@ def test_entry_compiles():
     sasa, max_count = jax.jit(fn)(*args)
     assert np.asarray(sasa).shape == args[0].shape[:2]
     assert np.isfinite(np.asarray(sasa)).all()
+
+
+def test_shard_files_round_robin():
+    from rustsasa_tpu.parallel.distributed import shard_files
+
+    files = [f"f{i}" for i in range(10)]
+    shards = [shard_files(files, i, 3) for i in range(3)]
+    assert shards[0] == ["f0", "f3", "f6", "f9"]
+    assert sorted(sum(shards, [])) == sorted(files)
+
+
+def test_allreduce_metrics_single_process():
+    from rustsasa_tpu.parallel.distributed import allreduce_metrics
+
+    g = allreduce_metrics(10, 8, 2, 1234.5)
+    assert (g.n_files, g.n_ok, g.n_errors) == (10, 8, 2)
+    assert g.total_area == pytest.approx(1234.5)
+
+
+def test_process_directory_distributed_single(reference_data_dir, tmp_path):
+    from rustsasa_tpu.api import SASAOptions
+    from rustsasa_tpu.levels import Level
+    from rustsasa_tpu.parallel.distributed import process_directory_distributed
+
+    g = process_directory_distributed(
+        str(reference_data_dir / "pdbs"),
+        str(tmp_path / "out"),
+        SASAOptions(level=Level.PROTEIN),
+        "json",
+        progress=False,
+    )
+    assert g.n_ok == 3
+    assert g.n_errors == 0
