@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from .api import SASAOptions
 from .io.read import read_structure
 from .io.serialize import (
+    fast_selection_json,
     sasa_result_to_bfactors,
     sasa_result_to_json,
     sasa_result_to_xml,
@@ -148,8 +149,12 @@ def process_directory(
     def emit(args):
         (path, structure, sel), atom_sasa = args
         try:
-            result = aggregate(sel, atom_sasa, options.level)
-            payload = serialize_result(structure, result, output_format)
+            if output_format == "json":
+                # Vectorized hot path - no per-residue Python objects.
+                payload = fast_selection_json(sel, atom_sasa, options.level)
+            else:
+                result = aggregate(sel, atom_sasa, options.level)
+                payload = serialize_result(structure, result, output_format)
             stem = os.path.splitext(os.path.basename(path))[0]
             out_path = os.path.join(output_dir, f"{stem}.{output_format}")
             with open(out_path, "w", encoding="utf-8") as f:

@@ -178,6 +178,66 @@ def sasa_result_to_bfactors(
     raise SerializationError(f"unknown level {result.level}")
 
 
+def _json_float_col(values: np.ndarray) -> np.ndarray:
+    """Vectorized f32 -> JSON number strings (%.9g: exact f32 round-trip)."""
+    vals = np.asarray(values, dtype=np.float64)
+    s = np.char.mod("%.9g", vals)
+    plain = np.char.isdigit(np.char.replace(s, "-", ""))
+    return np.where(plain, np.char.add(s, ".0"), s)
+
+
+def _json_str_col(values: np.ndarray) -> np.ndarray:
+    """Vectorized string column -> JSON string literals (incl. quotes)."""
+    import json
+
+    arr = np.asarray(values).astype("U16")
+    uq, inv = np.unique(arr, return_inverse=True)
+    esc = np.array([json.dumps(str(u)) for u in uq], dtype="U32")
+    return esc[inv]
+
+
+def fast_selection_json(sel, atom_sasa: np.ndarray, level: Level) -> str:
+    """Hot-path JSON straight from selection arrays (no result objects).
+
+    Identical schema to sasa_result_to_json; float rendering uses %.9g
+    (exact f32 round-trip, not necessarily shortest-decimal).
+    """
+    from ..constants import POLAR_AMINO_ACIDS
+    from ..levels import _residue_sums
+
+    if level is Level.ATOM:
+        return '{"Atom":[' + ",".join(_json_float_col(atom_sasa)) + "]}"
+
+    if level is Level.RESIDUE:
+        sums = _residue_sums(sel, atom_sasa)
+        if sel.n_residues == 0:
+            return '{"Residue":[]}'
+        polar = np.isin(
+            sel.res_name.astype("U8"), sorted(POLAR_AMINO_ACIDS)
+        )
+        chain_col = np.array(sel.chain_ids, dtype="U16")[sel.res_chain_idx]
+        parts = np.char.add('{"serial_number":', sel.res_serial.astype("U20"))
+        parts = np.char.add(parts, ',"insertion_code":')
+        parts = np.char.add(parts, _json_str_col(sel.res_icode))
+        parts = np.char.add(parts, ',"value":')
+        parts = np.char.add(parts, _json_float_col(sums))
+        parts = np.char.add(parts, ',"name":')
+        parts = np.char.add(parts, _json_str_col(sel.res_name))
+        parts = np.char.add(parts, ',"is_polar":')
+        parts = np.char.add(
+            parts, np.where(polar, "true", "false").astype("U5")
+        )
+        parts = np.char.add(parts, ',"chain_id":')
+        parts = np.char.add(parts, _json_str_col(chain_col))
+        parts = np.char.add(parts, "}")
+        return '{"Residue":[' + ",".join(parts) + "]}"
+
+    # Chain/protein payloads are tiny; go through the generic path.
+    from ..levels import aggregate
+
+    return sasa_result_to_json(aggregate(sel, atom_sasa, level))
+
+
 def parse_json_result(content: str) -> SASAResult:
     """Read back an externally tagged JSON result (for tests/tools)."""
     import json

@@ -44,6 +44,13 @@ class AtomTable:
     bfactor: np.ndarray  # [N] float32
     element: np.ndarray  # [N] U4, uppercase symbol ('' if unknown)
     hetero: np.ndarray  # [N] bool, HETATM flag
+    # Optional interned codes (first-appearance dense int32), produced by
+    # the native parser; the selection layer derives them when absent.
+    chain_code: np.ndarray | None = None
+    resname_code: np.ndarray | None = None
+    name_code: np.ndarray | None = None
+    alt_code: np.ndarray | None = None
+    icode_code: np.ndarray | None = None
 
     def __len__(self) -> int:
         return self.coords.shape[0]

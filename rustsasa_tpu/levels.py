@@ -151,14 +151,29 @@ def _rows(*cols: np.ndarray) -> np.ndarray:
     return out
 
 
+def _col_codes(
+    strings: np.ndarray, codes: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dense first-appearance codes for a string column.
+
+    Uses the native parser's interned codes when present (already dense,
+    already appearance-ordered); factorizes the strings otherwise.
+    """
+    if codes is not None:
+        c = codes.astype(np.int64, copy=False)
+        _, firsts = np.unique(c, return_index=True)
+        return c, firsts
+    return _factorize(strings)
+
+
 def _resolve_radii_grouped(
-    resnames, atom_names, elements, occupancy, *,
+    pair_key, resnames, atom_names, elements, occupancy, *,
     radii_config, allow_vdw_fallback, read_radii_from_occupancy,
 ) -> np.ndarray:
     """Vectorized radius resolution: one lookup per unique (residue, atom)."""
     if read_radii_from_occupancy:
         return np.asarray(occupancy, dtype=np.float32)
-    codes, firsts = _factorize(_rows(resnames, atom_names))
+    codes, firsts = _factorize(pair_key)
     per_code = np.empty(len(firsts), dtype=np.float32)
     for u, fi in enumerate(firsts):
         rn, an = str(resnames[fi]), str(atom_names[fi])
@@ -210,13 +225,39 @@ def build_selection(
             chain_ids=[],
         )
 
-    chain_codes, chain_first = _factorize(t.chain_id)
-    res_codes, res_first = _factorize(
-        _rows(chain_codes, t.res_serial, t.icode)
-    )
-    conf_codes, conf_first = _factorize(
-        _rows(res_codes, t.resname, t.alt_loc)
-    )
+    # Per-column dense codes (free when the native parser supplied them),
+    # then composite keys packed into int64 - integer unique is an order of
+    # magnitude faster than structured-dtype unique at proteome scale.
+    chain_codes, chain_first = _col_codes(t.chain_id, t.chain_code)
+    icode_codes, _ = _col_codes(t.icode, t.icode_code)
+    resname_codes, _ = _col_codes(t.resname, t.resname_code)
+    alt_codes, _ = _col_codes(t.alt_loc, t.alt_code)
+    name_codes, _ = _col_codes(t.name, t.name_code)
+
+    if (
+        len(chain_first) < (1 << 20)
+        and icode_codes.max(initial=0) < (1 << 12)
+        and resname_codes.max(initial=0) < (1 << 12)
+        and alt_codes.max(initial=0) < (1 << 8)
+        and name_codes.max(initial=0) < (1 << 16)
+    ):
+        res_key = (
+            (chain_codes << 44)
+            | (((t.res_serial + (1 << 31)) & 0xFFFFFFFF) << 12)
+            | icode_codes
+        )
+        res_codes, res_first = _factorize(res_key)
+        conf_key = (res_codes << 20) | (resname_codes << 8) | alt_codes
+        conf_codes, conf_first = _factorize(conf_key)
+        pair_key = (resname_codes << 16) | name_codes
+    else:  # pathological cardinalities: fall back to structured keys
+        res_codes, res_first = _factorize(
+            _rows(chain_codes, t.res_serial, t.icode)
+        )
+        conf_codes, conf_first = _factorize(
+            _rows(res_codes, t.resname, t.alt_loc)
+        )
+        pair_key = _rows(t.resname, t.name)
 
     # Kept conformers: blank alt-loc, plus the residue's first alternate.
     alt_of_conf = t.alt_loc[conf_first]
@@ -248,6 +289,7 @@ def build_selection(
     idx = order[kept[order]]
 
     radii = _resolve_radii_grouped(
+        pair_key[idx],
         t.resname[idx], t.name[idx], t.element[idx], t.occupancy[idx],
         radii_config=radii_config,
         allow_vdw_fallback=allow_vdw_fallback,
@@ -259,7 +301,9 @@ def build_selection(
     if level is Level.PROTEIN:
         gids, _ = _factorize(t.serial[idx])
     else:
-        gids, _ = _factorize(_rows(t.alt_loc[idx], t.serial[idx]))
+        gids, _ = _factorize(
+            (alt_codes[idx] << 48) | (t.serial[idx] & 0xFFFFFFFFFFFF)
+        )
 
     # Residue slots in traversal order.
     chain_of_res = chain_codes[res_first]

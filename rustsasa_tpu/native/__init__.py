@@ -123,11 +123,11 @@ def parse_file_native(path: str):
         if n == 0:
             return AtomTable.empty(), ("cif" if r.is_cif else "pdb")
         coords = np.ctypeslib.as_array(r.coords, shape=(n, 3)).copy()
-        name, _ = _codes_to_str(r.name_code, n, r.name_tab, r.n_name)
-        alt, _ = _codes_to_str(r.alt_code, n, r.alt_tab, r.n_alt)
-        resname, _ = _codes_to_str(r.resname_code, n, r.resname_tab, r.n_resname)
-        chain, _ = _codes_to_str(r.chain_code, n, r.chain_tab, r.n_chain)
-        icode, _ = _codes_to_str(r.icode_code, n, r.icode_tab, r.n_icode)
+        name, name_c = _codes_to_str(r.name_code, n, r.name_tab, r.n_name)
+        alt, alt_c = _codes_to_str(r.alt_code, n, r.alt_tab, r.n_alt)
+        resname, resname_c = _codes_to_str(r.resname_code, n, r.resname_tab, r.n_resname)
+        chain, chain_c = _codes_to_str(r.chain_code, n, r.chain_tab, r.n_chain)
+        icode, icode_c = _codes_to_str(r.icode_code, n, r.icode_tab, r.n_icode)
         element, _ = _codes_to_str(r.element_code, n, r.element_tab, r.n_element)
         table = AtomTable(
             coords=coords,
@@ -142,6 +142,11 @@ def parse_file_native(path: str):
             bfactor=np.ctypeslib.as_array(r.bfactor, shape=(n,)).copy(),
             element=element,
             hetero=np.ctypeslib.as_array(r.hetero, shape=(n,)).copy().astype(bool),
+            chain_code=chain_c,
+            resname_code=resname_c,
+            name_code=name_c,
+            alt_code=alt_c,
+            icode_code=icode_c,
         )
         return table, ("cif" if r.is_cif else "pdb")
     finally:

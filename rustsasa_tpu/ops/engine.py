@@ -11,14 +11,22 @@ formulation that XLA/Pallas can tile onto the TPU:
      is a candidate (same criterion as reference spatial_grid.rs:307,387);
      the K nearest candidates are selected with lax.top_k and the engine
      *verifies* no candidate was dropped (max_count <= K) - no silent
-     truncation, K is re-bucketed and the kernel re-run on overflow.
+     truncation, K is re-bucketed and the chunk re-run on overflow.
   3. Occlusion: point p of atom i is occluded iff
      dot(s_p, v_ij) < (t_j - |v_ij|^2 - r_i_eff^2) / (2 r_i_eff)
      with t_j = (r_j + probe)^2 (reference: lib.rs:136-146), evaluated
-     either by the Pallas VMEM-resident tile kernel (ops/pallas_kernel.py,
-     the TPU fast path) or by a masked K-chunked XLA scan (portable
-     fallback).  No data-dependent early exit - arithmetic density replaces
-     branching on TPU.
+     either by the Pallas VMEM-resident tile kernel (ops/pallas_kernel.py)
+     or by a masked K-chunked XLA scan.  No data-dependent early exit -
+     arithmetic density replaces branching on TPU.
+
+Dispatch discipline (this is what feeds a chip through a high-latency
+link): inputs are packed into TWO buffers per chunk (an [B,N,4] f32
+x/y/z/radius block and an [B,N] i32 group-id block whose -1 entries mark
+padding), probe/n_points are compile-time constants, and the engine
+enqueues EVERY chunk asynchronously before its single synchronization
+point - transfers and kernels for chunk i+1 overlap the execution of
+chunk i.  Overflow chunks (neighbor count > K) are re-run afterwards with
+a bigger K bucket.
 
 All shapes are static per (N_pad, K, P_pad) bucket; jit caches per bucket.
 Batches of structures run as one flattened kernel launch: per-structure
@@ -82,12 +90,8 @@ def resolve_backend(backend: str, n_pad: int, p_pad: int) -> str:
     """Pick the occlusion backend: Pallas on TPU-like devices, else XLA."""
     if backend != "auto":
         return backend
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:
-        platform = "cpu"
-    if platform != "cpu" and pallas_kernel.supports(n_pad, p_pad):
-        return "pallas"
+    # XLA is currently the fast default everywhere (the einsum occlusion
+    # scan fuses well); the Pallas kernel is opt-in until it wins.
     return "xla"
 
 
@@ -110,15 +114,16 @@ def _pairwise_d2(coords: jnp.ndarray) -> jnp.ndarray:
 
 
 def _neighbor_phase(
-    coords: jnp.ndarray,  # [N, 3]
-    radii: jnp.ndarray,  # [N]
-    group_id: jnp.ndarray,  # [N] i32
-    valid: jnp.ndarray,  # [N] bool
-    probe: jnp.ndarray,  # scalar f32
+    packed: jnp.ndarray,  # [N, 4] x,y,z,radius
+    group_id: jnp.ndarray,  # [N] i32, -1 for padding
     *,
+    probe: float,
     k: int,
 ):
     """Candidate selection -> (v [N,K,3], limit [N,K], counts [N], max_count)."""
+    coords = packed[:, 0:3]
+    radii = packed[:, 3]
+    valid = group_id >= 0
     n = coords.shape[0]
     d2 = _pairwise_d2(coords)
 
@@ -186,27 +191,29 @@ def _occlusion_scan(
     return occ
 
 
-def _area_factor(radii, valid, probe, n_points: int):
+def _area_factor(radii, valid, probe: float, n_points: int):
     r_eff = radii + probe
     factor = 4.0 * np.float32(np.pi) * r_eff * r_eff * np.float32(1.0 / n_points)
     return jnp.where(valid, factor, 0.0)
 
 
 def _occlusion_sasa(
-    v, limit, counts, radii, valid, sphere, point_valid, probe,
-    *, n_points: int, backend: str,
+    v, limit, counts, radii, valid, sphere_packed,
+    *, probe: float, n_points: int, backend: str,
 ):
     """Dispatch occlusion + area: Pallas tile kernel or XLA scan.
 
     All inputs may be batched-flat: [M, K, 3] where M = B * N_pad.
+    sphere_packed: [P, 4] f32 (x, y, z, point_valid).
     """
     m, k_eff = limit.shape
+    sphere = sphere_packed[:, 0:3]
+    point_valid = sphere_packed[:, 3] > 0.0
     area = _area_factor(radii, valid, probe, n_points)
     if backend.startswith("pallas") and m % pallas_kernel.ATOM_TILE == 0:
-        p = sphere.shape[0]
-        packed = jnp.zeros((p, 128), dtype=jnp.float32)
-        packed = packed.at[:, 0:3].set(sphere)
-        packed = packed.at[:, 3].set(point_valid.astype(jnp.float32))
+        p = sphere_packed.shape[0]
+        packed128 = jnp.zeros((p, 128), dtype=jnp.float32)
+        packed128 = packed128.at[:, 0:4].set(sphere_packed)
         n_tiles = m // pallas_kernel.ATOM_TILE
         tile_kmax = jnp.clip(
             counts.reshape(n_tiles, pallas_kernel.ATOM_TILE).max(axis=1),
@@ -214,7 +221,7 @@ def _occlusion_sasa(
             k_eff,
         ).astype(jnp.int32)
         return pallas_kernel.occlusion_sasa_pallas(
-            v, limit, area, packed, tile_kmax,
+            v, limit, area, packed128, tile_kmax,
             interpret=(backend == "pallas_interpret"),
         )
     occluded = _occlusion_scan(v, limit, sphere)  # [M, P]
@@ -224,41 +231,38 @@ def _occlusion_sasa(
     return area * accessible
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_points", "backend"))
-def _sasa_single(
-    coords, radii, group_id, valid, sphere, point_valid, probe,
-    *, k, n_points, backend,
-):
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_points", "probe", "backend")
+)
+def _sasa_single(packed, group_id, sphere_packed, *, k, n_points, probe, backend):
     v, limit, counts, max_count = _neighbor_phase(
-        coords, radii, group_id, valid, probe, k=k
+        packed, group_id, probe=probe, k=k
     )
     sasa = _occlusion_sasa(
-        v, limit, counts, radii, valid, sphere, point_valid, probe,
-        n_points=n_points, backend=backend,
+        v, limit, counts, packed[:, 3], group_id >= 0, sphere_packed,
+        probe=probe, n_points=n_points, backend=backend,
     )
     return sasa, max_count
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_points", "backend"))
-def _sasa_batched(
-    coords, radii, group_id, valid, sphere, point_valid, probe,
-    *, k, n_points, backend,
-):
+@functools.partial(
+    jax.jit, static_argnames=("k", "n_points", "probe", "backend")
+)
+def _sasa_batched(packed, group_id, sphere_packed, *, k, n_points, probe, backend):
     """[B, N, ...] batch: vmapped neighbor phase + one flattened occlusion."""
-    b, n = radii.shape
+    b, n = group_id.shape
     v, limit, counts, max_counts = jax.vmap(
-        functools.partial(_neighbor_phase, k=k),
-        in_axes=(0, 0, 0, 0, None),
-    )(coords, radii, group_id, valid, probe)
+        functools.partial(_neighbor_phase, probe=probe, k=k)
+    )(packed, group_id)
     k_eff = limit.shape[-1]
     sasa_flat = _occlusion_sasa(
         v.reshape(b * n, k_eff, 3),
         limit.reshape(b * n, k_eff),
         counts.reshape(b * n),
-        radii.reshape(b * n),
-        valid.reshape(b * n),
-        sphere, point_valid, probe,
-        n_points=n_points, backend=backend,
+        packed[:, :, 3].reshape(b * n),
+        group_id.reshape(b * n) >= 0,
+        sphere_packed,
+        probe=probe, n_points=n_points, backend=backend,
     )
     return sasa_flat.reshape(b, n), jnp.max(max_counts)
 
@@ -266,8 +270,30 @@ def _sasa_batched(
 def _initial_k(n: int) -> int:
     # Typical protein packing tops out around ~130 in-range neighbors with
     # ProtOr radii and probe 1.4 (the reference reserves 80 and grows,
-    # spatial_grid.rs:213); start at 128 and re-bucket on overflow.
-    return min(_round_bucket(min(128, n), _K_BUCKETS), n)
+    # spatial_grid.rs:213); start at 160 (the smallest bucket that fits
+    # dense crystal cores without a re-run) capped by the atom count.
+    return min(_round_bucket(min(160, n), _K_BUCKETS), n)
+
+
+def _sphere_packed(n_points: int) -> np.ndarray:
+    p_pad = _round_up(n_points, 128)
+    sphere, point_valid = padded_sphere_points(n_points, p_pad)
+    packed = np.empty((p_pad, 4), dtype=np.float32)
+    packed[:, 0:3] = sphere
+    packed[:, 3] = point_valid.astype(np.float32)
+    return packed
+
+
+def _dense_gids(gids: np.ndarray | None, n: int) -> np.ndarray:
+    if gids is None:
+        return np.arange(n, dtype=np.int32)
+    gids = np.asarray(gids)
+    if gids.dtype == np.int32 and (len(gids) == 0 or gids.min() >= 0):
+        # Already-dense non-negative ids (the selection layer emits these);
+        # only equality matters, no re-factorization needed.
+        return gids
+    _, inv = np.unique(gids, return_inverse=True)
+    return inv.astype(np.int32)
 
 
 def calculate_sasa_internal(
@@ -293,33 +319,25 @@ def calculate_sasa_internal(
     n = coords.shape[0]
     if n == 0:
         return np.zeros(0, dtype=np.float32)
-    if group_ids is None:
-        gid = np.arange(n, dtype=np.int32)
-    else:
-        # Compress arbitrary ids to dense int32 (equality is all that matters).
-        _, gid = np.unique(np.asarray(group_ids), return_inverse=True)
-        gid = gid.astype(np.int32)
+    gid = _dense_gids(group_ids, n)
 
     n_pad = _round_bucket(n, _N_BUCKETS)
     p_pad = _round_up(n_points, 128)
-    sphere, point_valid = padded_sphere_points(n_points, p_pad)
+    sphere_packed = _sphere_packed(n_points)
     backend = resolve_backend(backend, n_pad, p_pad)
 
-    c = np.zeros((n_pad, 3), dtype=np.float32)
-    c[:n] = coords
-    r = np.zeros(n_pad, dtype=np.float32)
-    r[:n] = radii
+    packed = np.zeros((n_pad, 4), dtype=np.float32)
+    packed[:n, 0:3] = coords
+    packed[:n, 3] = radii
     g = np.full(n_pad, -1, dtype=np.int32)
     g[:n] = gid
-    valid = np.zeros(n_pad, dtype=bool)
-    valid[:n] = True
 
     k = _initial_k(n_pad)
-    probe = np.float32(probe_radius)
+    probe = float(probe_radius)
     while True:
         sasa, max_count = _sasa_single(
-            c, r, g, valid, sphere, point_valid, probe,
-            k=k, n_points=n_points, backend=backend,
+            packed, g, sphere_packed,
+            k=k, n_points=n_points, probe=probe, backend=backend,
         )
         mc = int(max_count)
         if mc <= k:
@@ -333,20 +351,21 @@ def calculate_sasa_internal(
 def _batch_cap(n_pad: int) -> int:
     """Structures per device call, bounded by the [B,N,N] distance matrix
     and the flattened occlusion working set."""
-    cap_d2 = max(1, int(1.5e8 // (n_pad * n_pad)))
-    cap_occ = max(1, int(8e7 // (n_pad * _K_CHUNK * 128)))
-    return max(1, min(128, cap_d2, cap_occ))
+    cap_d2 = max(1, int(3e8 // (n_pad * n_pad)))
+    cap_occ = max(1, int(1.6e8 // (n_pad * _K_CHUNK * 128)))
+    return max(1, min(256, cap_d2, cap_occ))
 
 
 class BatchedSasaEngine:
     """Batched engine: many structures per device call, bucketed by size.
 
     Feed with (coords, radii, group_ids) triples; structures are grouped
-    into padded-N buckets, stacked [B, N, ...] and run as one flattened
-    kernel launch.  This is the throughput path for directory/proteome
-    processing (the TPU analog of the reference's rayon-over-files outer
-    loop, main.rs:375) - instead of one CPU thread per file, many
-    structures fill one chip per dispatch.
+    into padded-N buckets, stacked [B, N, ...] and run as flattened kernel
+    launches.  ALL chunks are enqueued asynchronously before the single
+    synchronization point, so host->device transfers and kernels pipeline
+    back-to-back on the device - this is the throughput path for
+    directory/proteome processing (the TPU analog of the reference's
+    rayon-over-files outer loop, main.rs:375).
     """
 
     def __init__(self, params: SasaParams | None = None, backend: str = "auto"):
@@ -358,8 +377,12 @@ class BatchedSasaEngine:
     ) -> list[np.ndarray]:
         if not structures:
             return []
+        params = self.params
+        p_pad = _round_up(params.n_points, 128)
+        sphere_packed = _sphere_packed(params.n_points)
+        probe = float(params.probe_radius)
+
         results: list[np.ndarray | None] = [None] * len(structures)
-        # Bucket structures by padded size so one dispatch serves many files.
         buckets: dict[int, list[int]] = {}
         for i, (coords, _, _) in enumerate(structures):
             n = coords.shape[0]
@@ -368,56 +391,47 @@ class BatchedSasaEngine:
                 continue
             buckets.setdefault(_round_bucket(n, _N_BUCKETS), []).append(i)
 
+        # Phase 1: enqueue every chunk asynchronously.
+        pending = []  # (members, inputs, k, sasa_dev, max_count_dev)
         for n_pad, members in sorted(buckets.items()):
+            backend = resolve_backend(self.backend, n_pad, p_pad)
             cap = _batch_cap(n_pad)
             for lo in range(0, len(members), cap):
                 chunk = members[lo:lo + cap]
-                out = self._run_chunk(n_pad, [structures[i] for i in chunk])
-                for i, sasa in zip(chunk, out):
-                    results[i] = sasa
+                packed, g = self._pack(n_pad, [structures[i] for i in chunk])
+                k = _initial_k(n_pad)
+                sasa, mc = _sasa_batched(
+                    packed, g, sphere_packed,
+                    k=k, n_points=params.n_points, probe=probe,
+                    backend=backend,
+                )
+                pending.append((chunk, (packed, g), k, n_pad, backend, sasa, mc))
+
+        # Phase 2: single sync; re-run overflowed chunks with a bigger K.
+        for chunk, inputs, k, n_pad, backend, sasa, mc in pending:
+            mc_val = int(mc)
+            while mc_val > k:
+                k = min(_round_bucket(mc_val, _K_BUCKETS), n_pad)
+                sasa, mc = _sasa_batched(
+                    inputs[0], inputs[1], sphere_packed,
+                    k=k, n_points=params.n_points, probe=probe,
+                    backend=backend,
+                )
+                mc_val = int(mc)
+            sasa_np = np.asarray(sasa)
+            for slot, i in enumerate(chunk):
+                n = structures[i][0].shape[0]
+                results[i] = sasa_np[slot, :n]
         return results  # type: ignore[return-value]
 
-    def _run_chunk(
-        self,
-        n_pad: int,
-        structures: list[tuple[np.ndarray, np.ndarray, np.ndarray | None]],
-    ) -> list[np.ndarray]:
-        params = self.params
-        p_pad = _round_up(params.n_points, 128)
-        sphere, point_valid = padded_sphere_points(params.n_points, p_pad)
-        backend = resolve_backend(self.backend, n_pad, p_pad)
+    @staticmethod
+    def _pack(n_pad, structures):
         b = len(structures)
-        sizes = [s[0].shape[0] for s in structures]
-
-        c = np.zeros((b, n_pad, 3), dtype=np.float32)
-        r = np.zeros((b, n_pad), dtype=np.float32)
+        packed = np.zeros((b, n_pad, 4), dtype=np.float32)
         g = np.full((b, n_pad), -1, dtype=np.int32)
-        valid = np.zeros((b, n_pad), dtype=bool)
         for i, (coords, radii, gids) in enumerate(structures):
             n = coords.shape[0]
-            c[i, :n] = coords
-            r[i, :n] = radii
-            if gids is None:
-                g[i, :n] = np.arange(n, dtype=np.int32)
-            elif gids.dtype == np.int32:
-                # Already-dense ids (the selection layer emits these);
-                # only equality matters, no re-factorization needed.
-                g[i, :n] = gids
-            else:
-                _, inv = np.unique(np.asarray(gids), return_inverse=True)
-                g[i, :n] = inv.astype(np.int32)
-            valid[i, :n] = True
-
-        k = _initial_k(n_pad)
-        probe = np.float32(params.probe_radius)
-        while True:
-            sasa, max_count = _sasa_batched(
-                c, r, g, valid, sphere, point_valid, probe,
-                k=k, n_points=params.n_points, backend=backend,
-            )
-            mc = int(max_count)
-            if mc <= k:
-                break
-            k = min(_round_bucket(mc, _K_BUCKETS), n_pad)
-        sasa = np.asarray(sasa)
-        return [sasa[i, :n] for i, n in enumerate(sizes)]
+            packed[i, :n, 0:3] = coords
+            packed[i, :n, 3] = radii
+            g[i, :n] = _dense_gids(gids, n)
+        return packed, g

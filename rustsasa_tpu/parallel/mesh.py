@@ -41,19 +41,21 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "batch") -> Mesh:
     return Mesh(np.array(devices), axis_names=(axis_name,))
 
 
-def _shard_sasa_core(coords, radii, group_id, valid, sphere, point_valid,
-                     probe, *, k, n_points, axis_name):
+def _shard_sasa_core(packed, group_id, sphere_packed,
+                     *, probe, k, n_points, axis_name):
     """Per-shard batched SASA + psum'd metrics.
 
-    Runs inside shard_map: coords is the local [B_local, N, 3] shard.
+    Runs inside shard_map: packed is the local [B_local, N, 4] shard
+    (x, y, z, radius; group_id -1 marks padding).
     Returns (sasa [B_local, N], global_total_area [1], global_max_count [1]).
     """
-    b, n = radii.shape
+    b, n = group_id.shape
     v, limit, counts, max_counts = jax.vmap(
-        functools.partial(_neighbor_phase, k=k),
-        in_axes=(0, 0, 0, 0, None),
-    )(coords, radii, group_id, valid, probe)
+        functools.partial(_neighbor_phase, probe=probe, k=k)
+    )(packed, group_id)
     k_eff = limit.shape[-1]
+    sphere = sphere_packed[:, 0:3]
+    point_valid = sphere_packed[:, 3] > 0.0
     occluded = _occlusion_scan(
         v.reshape(b * n, k_eff, 3), limit.reshape(b * n, k_eff), sphere
     )
@@ -61,7 +63,8 @@ def _shard_sasa_core(coords, radii, group_id, valid, sphere, point_valid,
         point_valid[None, :] & ~occluded, axis=1, dtype=jnp.float32
     )
     area = _area_factor(
-        radii.reshape(b * n), valid.reshape(b * n), probe, n_points
+        packed[:, :, 3].reshape(b * n), group_id.reshape(b * n) >= 0,
+        probe, n_points,
     )
     sasa = (area * accessible).reshape(b, n)
     # Cross-chip collectives over ICI: run metrics only.
@@ -75,13 +78,13 @@ def make_sharded_sasa(
     *,
     k: int,
     n_points: int,
+    probe: float = 1.4,
     axis_name: str = "batch",
 ):
     """Build a jitted, mesh-sharded batched SASA step.
 
-    Returns fn(coords [B,N,3], radii [B,N], group_id [B,N], valid [B,N],
-               sphere [P,3], point_valid [P], probe) ->
-               (sasa [B,N], total_area scalar-per-shard, max_count)
+    Returns fn(packed [B,N,4], group_id [B,N], sphere_packed [P,4]) ->
+               (sasa [B,N], total_area [1], max_count [1])
     with B sharded across the mesh.  B must be divisible by mesh size.
     """
     spec_b = P(axis_name)
@@ -89,10 +92,11 @@ def make_sharded_sasa(
 
     shard_fn = jax.shard_map(
         functools.partial(
-            _shard_sasa_core, k=k, n_points=n_points, axis_name=axis_name
+            _shard_sasa_core, probe=probe, k=k, n_points=n_points,
+            axis_name=axis_name,
         ),
         mesh=mesh,
-        in_specs=(spec_b, spec_b, spec_b, spec_b, repl, repl, repl),
+        in_specs=(spec_b, spec_b, repl),
         out_specs=(spec_b, repl, repl),
     )
     return jax.jit(shard_fn)

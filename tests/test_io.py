@@ -181,3 +181,31 @@ def test_parse_structure_sniffs_format():
     s = parse_structure(PDB_3ATOMS.encode())
     assert s.format == "pdb"
     assert s.n_atoms() == 3
+
+
+def test_fast_selection_json_matches_generic():
+    from rustsasa_tpu.io.serialize import fast_selection_json
+    from rustsasa_tpu.levels import aggregate, build_selection
+    from rustsasa_tpu.ops.engine import calculate_sasa_internal
+    import json as _json
+
+    s = parse_structure(PDB_2RES.encode())
+    for level in (Level.ATOM, Level.RESIDUE, Level.CHAIN, Level.PROTEIN):
+        sel = build_selection(s, level)
+        sasa = calculate_sasa_internal(
+            sel.coords, sel.radii, group_ids=sel.group_ids
+        )
+        fast = _json.loads(fast_selection_json(sel, sasa, level))
+        generic = _json.loads(sasa_result_to_json(aggregate(sel, sasa, level)))
+        if level is Level.RESIDUE:
+            assert len(fast["Residue"]) == len(generic["Residue"])
+            for a, b in zip(fast["Residue"], generic["Residue"]):
+                assert a["serial_number"] == b["serial_number"]
+                assert a["name"] == b["name"]
+                assert a["chain_id"] == b["chain_id"]
+                assert a["is_polar"] == b["is_polar"]
+                assert abs(a["value"] - b["value"]) < 1e-4
+        elif level is Level.ATOM:
+            assert np.allclose(fast["Atom"], generic["Atom"], atol=1e-4)
+        else:
+            assert fast == generic

@@ -19,22 +19,19 @@ def test_sharded_step_matches_single_device():
     )
     import __graft_entry__ as ge
 
-    args = ge._example_batch(b=8, n=128)
-    coords, radii, gid, valid, sphere, point_valid, probe = args
+    packed, gid, sphere_packed = ge._example_batch(b=8, n=128)
 
     ref, _ = _sasa_batched(
-        coords, radii, gid, valid, sphere, point_valid, probe,
-        k=64, n_points=100, backend="xla",
+        packed, gid, sphere_packed, k=64, n_points=100, probe=1.4,
+        backend="xla",
     )
 
     mesh = make_mesh(8)
     step = make_sharded_sasa(mesh, k=64, n_points=100)
     sasa, total, max_count = step(
-        put_batch_sharded(mesh, coords),
-        put_batch_sharded(mesh, radii),
+        put_batch_sharded(mesh, packed),
         put_batch_sharded(mesh, gid),
-        put_batch_sharded(mesh, valid),
-        sphere, point_valid, probe,
+        sphere_packed,
     )
     np.testing.assert_allclose(np.asarray(sasa), np.asarray(ref), atol=1e-3)
     assert float(total[0]) == pytest.approx(float(np.asarray(ref).sum()), rel=1e-5)
@@ -48,7 +45,6 @@ def test_dryrun_multichip_entrypoint():
 
 def test_entry_compiles():
     import __graft_entry__ as ge
-    import jax
 
     fn, args = ge.entry()
     sasa, max_count = jax.jit(fn)(*args)
