@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DEFAULT_N_POINTS, DEFAULT_PROBE_RADIUS
-from . import pallas_kernel
+from . import fused_kernel, pallas_kernel
 from .sphere import padded_sphere_points
 
 # Sentinel for "never occludes" limits and masked top-k scores.
@@ -87,11 +87,20 @@ class SasaParams:
 
 
 def resolve_backend(backend: str, n_pad: int, p_pad: int) -> str:
-    """Pick the occlusion backend: Pallas on TPU-like devices, else XLA."""
+    """Pick the engine backend.
+
+    'fused' (the tiled no-neighbor-list Pallas kernel) on TPU-like devices
+    when the point count fits its [P,128] working layout; the XLA list
+    path elsewhere (CPU tests, exotic point counts).
+    """
     if backend != "auto":
         return backend
-    # XLA is currently the fast default everywhere (the einsum occlusion
-    # scan fuses well); the Pallas kernel is opt-in until it wins.
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    if platform != "cpu" and p_pad <= pallas_kernel.MAX_P_PAD:
+        return "fused"
     return "xla"
 
 
@@ -326,6 +335,15 @@ def calculate_sasa_internal(
     sphere_packed = _sphere_packed(n_points)
     backend = resolve_backend(backend, n_pad, p_pad)
 
+    if backend.startswith("fused"):
+        return _compute_fused(
+            [(coords, radii, gid)],
+            probe=float(probe_radius),
+            n_points=n_points,
+            sphere_packed=sphere_packed,
+            interpret=backend.endswith("interpret"),
+        )[0]
+
     packed = np.zeros((n_pad, 4), dtype=np.float32)
     packed[:n, 0:3] = coords
     packed[:n, 3] = radii
@@ -346,6 +364,68 @@ def calculate_sasa_internal(
         # in-range neighbor.  Silent truncation would corrupt results.
         k = min(_round_bucket(mc, _K_BUCKETS), n_pad)
     return np.asarray(sasa[:n])
+
+
+_FUSED_ATOM_BUDGET = 2_000_000  # atom-slots per fused kernel launch
+
+
+def _compute_fused(
+    structures, *, probe: float, n_points: int, sphere_packed: np.ndarray,
+    interpret: bool = False,
+) -> list[np.ndarray]:
+    """Run the fused tiled kernel over a list of structures.
+
+    Chunks by total atom-slot budget; every chunk is ONE pallas_call with
+    no K buckets, no overflow re-runs, no gathers.
+    """
+    sphere128 = np.zeros((sphere_packed.shape[0], 128), dtype=np.float32)
+    sphere128[:, 0:4] = sphere_packed
+
+    results: list[np.ndarray | None] = [None] * len(structures)
+    order = sorted(
+        range(len(structures)), key=lambda i: -structures[i][0].shape[0]
+    )
+    chunk: list[int] = []
+    budget = 0
+
+    def flush(chunk):
+        if not chunk:
+            return
+        triples = []
+        for i in chunk:
+            coords, radii, gids = structures[i]
+            triples.append(
+                (coords, radii, _dense_gids(gids, coords.shape[0]))
+            )
+        planes, tab, rng_arr, area, offsets = fused_kernel.pack_structures(
+            triples, probe, n_points
+        )
+        # Pad the tile table to a sublane-aligned row count.
+        t = tab.shape[0]
+        t_pad = _round_up(max(t, 8), 8)
+        if t_pad != t:
+            pad = np.zeros((t_pad - t, tab.shape[1]), dtype=np.float32)
+            pad[:, 0:3] = fused_kernel._FAR
+            pad[:, 3:6] = -fused_kernel._FAR
+            tab = np.vstack([tab, pad])
+        out = np.asarray(
+            fused_kernel.fused_sasa(
+                planes, tab, rng_arr, area, sphere128, interpret=interpret
+            )
+        )
+        for i, (pos, n, inv) in zip(chunk, offsets):
+            results[i] = out[pos:pos + n][inv]
+
+    for i in order:
+        n_slots = _round_up(max(structures[i][0].shape[0], 1),
+                            fused_kernel.ATOM_TILE)
+        if chunk and budget + n_slots > _FUSED_ATOM_BUDGET:
+            flush(chunk)
+            chunk, budget = [], 0
+        chunk.append(i)
+        budget += n_slots
+    flush(chunk)
+    return results  # type: ignore[return-value]
 
 
 def _batch_cap(n_pad: int) -> int:
@@ -381,6 +461,24 @@ class BatchedSasaEngine:
         p_pad = _round_up(params.n_points, 128)
         sphere_packed = _sphere_packed(params.n_points)
         probe = float(params.probe_radius)
+
+        backend0 = resolve_backend(self.backend, 128, p_pad)
+        if backend0.startswith("fused"):
+            nonempty = [
+                i for i, s in enumerate(structures) if s[0].shape[0] > 0
+            ]
+            sub = [structures[i] for i in nonempty]
+            outs = _compute_fused(
+                sub, probe=probe, n_points=params.n_points,
+                sphere_packed=sphere_packed,
+                interpret=backend0.endswith("interpret"),
+            )
+            results_f: list[np.ndarray] = [
+                np.zeros(0, np.float32) for _ in structures
+            ]
+            for i, out in zip(nonempty, outs):
+                results_f[i] = out
+            return results_f
 
         results: list[np.ndarray | None] = [None] * len(structures)
         buckets: dict[int, list[int]] = {}

@@ -48,19 +48,23 @@ def _occlusion_tile_kernel(
     area_ref,  # [1, A] f32: 4*pi*r_eff^2/n_points, 0 for padding atoms
     out_ref,  # [1, A] f32: per-atom SASA
 ):
-    sx = sphere_ref[:, 0:1]
-    sy = sphere_ref[:, 1:2]
-    sz = sphere_ref[:, 2:3]
-    pv = sphere_ref[:, 3:4]
-    p = sx.shape[0]
+    p = sphere_ref.shape[0]
     a = vx_ref.shape[1]
+    # Hoist the lane-broadcast of the sphere planes out of the neighbor
+    # loop: [P,1] -> [P,A] lane-splats are expensive per op; done once here,
+    # the loop body only needs sublane-splats of [1,A] rows (cheap).
+    ones_a = jnp.ones((1, a), dtype=jnp.float32)
+    sxb = sphere_ref[:, 0:1] * ones_a  # [P, A]
+    syb = sphere_ref[:, 1:2] * ones_a
+    szb = sphere_ref[:, 2:3] * ones_a
+    pv = sphere_ref[:, 3:4] * ones_a
 
     def body(k, occ):
         vx = vx_ref[k, :].reshape(1, a)
         vy = vy_ref[k, :].reshape(1, a)
         vz = vz_ref[k, :].reshape(1, a)
         lim = lim_ref[k, :].reshape(1, a)
-        dots = sx * vx + sy * vy + sz * vz
+        dots = sxb * vx + syb * vy + szb * vz
         # f32 0/1 accumulation: Mosaic legalizes the dynamic-bound loop
         # with a float carry where a vector-of-i1 carry does not.
         return jnp.maximum(occ, (dots < lim).astype(jnp.float32))

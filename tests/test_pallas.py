@@ -49,3 +49,36 @@ def test_pallas_n_points_variants():
             coords, radii, n_points=n_points, backend="pallas_interpret"
         )
         np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+@pytest.mark.parametrize("n", [100, 128, 500])
+def test_fused_matches_xla_single(n):
+    coords, radii = random_cluster(n, seed=n + 7)
+    ref = calculate_sasa_internal(coords, radii, backend="xla")
+    out = calculate_sasa_internal(coords, radii, backend="fused_interpret")
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_fused_matches_xla_batched():
+    structures = []
+    for i, n in enumerate([90, 180, 256, 400]):
+        coords, radii = random_cluster(n, seed=20 + i)
+        structures.append((coords, radii, None))
+    xla = BatchedSasaEngine(SasaParams(), backend="xla").compute(structures)
+    fused = BatchedSasaEngine(
+        SasaParams(), backend="fused_interpret"
+    ).compute(structures)
+    for a, b in zip(xla, fused):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_fused_group_ids_and_spread_structures():
+    # Coincident atoms sharing a group id must not occlude (fused path).
+    coords = np.array([[0, 0, 0], [0.5, 0, 0], [3.0, 0, 0]], np.float32) + 50.0
+    radii = np.full(3, 1.8, np.float32)
+    gids = np.array([5, 5, 9], np.int32)
+    ref = calculate_sasa_internal(coords, radii, group_ids=gids, backend="xla")
+    out = calculate_sasa_internal(
+        coords, radii, group_ids=gids, backend="fused_interpret"
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-3)
