@@ -368,6 +368,12 @@ def calculate_sasa_internal(
 
 _FUSED_ATOM_BUDGET = 2_000_000  # atom-slots per fused kernel launch
 
+# Atom-slot buckets for fused chunks (powers of two): every chunk pads to
+# one of these so the whole corpus reuses a handful of compiled shapes.
+_FUSED_M_BUCKETS = [
+    2048, 8192, 32768, 131072, 524288, 1048576, 2097152,
+]
+
 
 def _compute_fused(
     structures, *, probe: float, n_points: int, sphere_packed: np.ndarray,
@@ -376,7 +382,8 @@ def _compute_fused(
     """Run the fused tiled kernel over a list of structures.
 
     Chunks by total atom-slot budget; every chunk is ONE pallas_call with
-    no K buckets, no overflow re-runs, no gathers.
+    no K buckets, no overflow re-runs, no gathers.  All chunks are
+    enqueued before results are read back.
     """
     sphere128 = np.zeros((sphere_packed.shape[0], 128), dtype=np.float32)
     sphere128[:, 0:4] = sphere_packed
@@ -385,8 +392,7 @@ def _compute_fused(
     order = sorted(
         range(len(structures)), key=lambda i: -structures[i][0].shape[0]
     )
-    chunk: list[int] = []
-    budget = 0
+    pending = []  # (chunk, offsets, device_out)
 
     def flush(chunk):
         if not chunk:
@@ -400,7 +406,21 @@ def _compute_fused(
         planes, tab, rng_arr, area, offsets = fused_kernel.pack_structures(
             triples, probe, n_points
         )
-        # Pad the tile table to a sublane-aligned row count.
+        # Pad atom slots to a bucketed M so chunk shapes are reused.
+        m = planes.shape[1]
+        m_pad = _round_bucket(m, _FUSED_M_BUCKETS)
+        if m_pad != m:
+            planes = np.pad(planes, ((0, 0), (0, m_pad - m)))
+            area = np.pad(area, ((0, 0), (0, m_pad - m)))
+            extra_t = (m_pad - m) // fused_kernel.ATOM_TILE
+            tab_pad = np.zeros((extra_t, tab.shape[1]), dtype=np.float32)
+            tab_pad[:, 0:3] = fused_kernel._FAR
+            tab_pad[:, 3:6] = -fused_kernel._FAR
+            tab = np.vstack([tab, tab_pad])
+            rng_arr = np.vstack(
+                [rng_arr, np.zeros((extra_t, 2), dtype=np.int32)]
+            )
+        # Sublane-align the tile-table rows.
         t = tab.shape[0]
         t_pad = _round_up(max(t, 8), 8)
         if t_pad != t:
@@ -408,14 +428,13 @@ def _compute_fused(
             pad[:, 0:3] = fused_kernel._FAR
             pad[:, 3:6] = -fused_kernel._FAR
             tab = np.vstack([tab, pad])
-        out = np.asarray(
-            fused_kernel.fused_sasa(
-                planes, tab, rng_arr, area, sphere128, interpret=interpret
-            )
+        out = fused_kernel.fused_sasa(
+            planes, tab, rng_arr, area, sphere128, interpret=interpret
         )
-        for i, (pos, n, inv) in zip(chunk, offsets):
-            results[i] = out[pos:pos + n][inv]
+        pending.append((chunk, offsets, out))
 
+    chunk: list[int] = []
+    budget = 0
     for i in order:
         n_slots = _round_up(max(structures[i][0].shape[0], 1),
                             fused_kernel.ATOM_TILE)
@@ -425,6 +444,11 @@ def _compute_fused(
         chunk.append(i)
         budget += n_slots
     flush(chunk)
+
+    for chunk, offsets, out in pending:
+        out_np = np.asarray(out)
+        for i, (pos, n, inv) in zip(chunk, offsets):
+            results[i] = out_np[pos:pos + n][inv]
     return results  # type: ignore[return-value]
 
 

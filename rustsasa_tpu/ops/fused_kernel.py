@@ -50,16 +50,16 @@ def _fused_kernel(
     rng_ref,  # scalar prefetch [T, 2] i32: j-tile [start, end) per i-tile
     sphere_ref,  # [P, 128] f32: cols 0..2 sx,sy,sz; col 3 point_valid
     planes_i_ref,  # [N_PLANES, A] f32: this i-tile's atom planes
-    tile_tab_ref,  # [T_pad, TILE_TAB_W] f32
+    tile_tab_ref,  # [T_pad, TILE_TAB_W] f32 in SMEM
     area_ref,  # [1, A] f32
     planes_hbm_ref,  # [N_PLANES, M] f32 in ANY/HBM: all atom planes
     out_ref,  # [1, A] f32
-    jbuf,  # VMEM scratch [N_PLANES, A]
+    jbuf,  # SMEM scratch [N_PLANES, A]: j-tile consumed as scalars
+    occ_ref,  # VMEM scratch [P, A]: occlusion-margin accumulator
     sem,  # DMA semaphore
 ):
     i = pl.program_id(0)
     a = planes_i_ref.shape[1]
-    p = sphere_ref.shape[0]
 
     xi = planes_i_ref[0:1, :]
     yi = planes_i_ref[1:2, :]
@@ -75,6 +75,8 @@ def _fused_kernel(
     szb = sphere_ref[:, 2:3] * ones_a
     pv = sphere_ref[:, 3:4] * ones_a
 
+    occ_ref[...] = jnp.full_like(occ_ref, _NEG_BIG)
+
     # i-tile bounds (scalars).
     iminx = tile_tab_ref[i, 0]
     iminy = tile_tab_ref[i, 1]
@@ -84,7 +86,7 @@ def _fused_kernel(
     imaxz = tile_tab_ref[i, 5]
     imaxr = tile_tab_ref[i, 6]
 
-    def process_tile(j, occ):
+    def process_tile(j):
         dma = pltpu.make_async_copy(
             planes_hbm_ref.at[:, pl.ds(j * a, a)], jbuf, sem
         )
@@ -92,6 +94,10 @@ def _fused_kernel(
         dma.wait()
 
         def katom(k, occ):
+            # Branchless occlusion-margin update: occluded iff
+            # margin = lim - dot(s, v) > 0 for any neighbor; the limit
+            # self-masks out-of-reach atoms and the gid/padding test folds
+            # into the same max-accumulation.  5 [P,A] vector ops/atom.
             xk = jbuf[0, k]
             yk = jbuf[1, k]
             zk = jbuf[2, k]
@@ -101,24 +107,18 @@ def _fused_kernel(
             vy = yi - yk
             vz = zi - zk
             v2 = vx * vx + vy * vy + vz * vz
-            reach = reffi + rk  # r_eff_i + r_j + probe
-            # Early-out: j-atom beyond reach of every i-atom in the tile.
-            hit_any = jnp.min(v2 - reach * reach) < 0.0
+            lim = (rk * rk - v2 - r2i) * inv2ri
+            lim = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, lim)
+            dots = sxb * vx + (syb * vy + szb * vz)
+            return jnp.maximum(occ, lim - dots)
 
-            def update(occ):
-                lim = (rk * rk - v2 - r2i) * inv2ri
-                lim = jnp.where(
-                    (gidi == gk) | (gk == 0.0), _NEG_BIG, lim
-                )
-                dots = sxb * vx + syb * vy + szb * vz
-                return jnp.maximum(occ, (dots < lim).astype(jnp.float32))
+        tile_occ = jax.lax.fori_loop(
+            0, a, katom, jnp.full((sphere_ref.shape[0], a), _NEG_BIG)
+        )
+        occ_ref[...] = jnp.maximum(occ_ref[...], tile_occ)
 
-            return jax.lax.cond(hit_any, update, lambda o: o, occ)
-
-        return jax.lax.fori_loop(0, a, katom, occ)
-
-    def maybe_tile(j, occ):
-        # AABB separation vs occlusion reach.
+    def maybe_tile(j, carry):
+        # AABB separation vs occlusion reach (all scalar SMEM math).
         dx = jnp.maximum(
             jnp.maximum(iminx - tile_tab_ref[j, 3], tile_tab_ref[j, 0] - imaxx),
             0.0,
@@ -133,18 +133,21 @@ def _fused_kernel(
         )
         sep2 = dx * dx + dy * dy + dz * dz
         reach = imaxr + tile_tab_ref[j, 6]
-        return jax.lax.cond(
-            sep2 <= reach * reach, functools.partial(process_tile, j),
-            lambda o: o, occ,
-        )
+
+        @pl.when(sep2 <= reach * reach)
+        def _():
+            process_tile(j)
+
+        return carry
 
     jstart = rng_ref[i, 0]
     jend = rng_ref[i, 1]
-    occ0 = jnp.zeros((p, a), dtype=jnp.float32)
-    occ = jax.lax.fori_loop(jstart, jend, maybe_tile, occ0)
+    jax.lax.fori_loop(jstart, jend, maybe_tile, 0)
 
+    # Occluded iff the accumulated margin is strictly positive
+    # (matches the reference's `dot < limit` strict comparison, lib.rs:146).
     accessible = jnp.sum(
-        jnp.where((occ == 0.0) & (pv > 0.0), 1.0, 0.0),
+        jnp.where((occ_ref[...] <= 0.0) & (pv > 0.0), 1.0, 0.0),
         axis=0,
         keepdims=True,
     )
@@ -171,9 +174,8 @@ def fused_sasa(
         in_specs=[
             pl.BlockSpec((p, 128), lambda i, _: (0, 0)),
             pl.BlockSpec((N_PLANES, ATOM_TILE), lambda i, _: (0, i)),
-            pl.BlockSpec(
-                (tile_tab.shape[0], TILE_TAB_W), lambda i, _: (0, 0)
-            ),
+            # Tile table lives in SMEM: the AABB cull is pure scalar math.
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ATOM_TILE), lambda i, _: (0, i)),
             pl.BlockSpec(memory_space=pl.ANY),  # full planes, DMA-d
         ],
@@ -182,6 +184,7 @@ def fused_sasa(
             # SMEM: the j-tile atom planes are consumed as scalars
             # (dynamic per-atom indexing is an SMEM operation on TPU).
             pltpu.SMEM((N_PLANES, ATOM_TILE), jnp.float32),
+            pltpu.VMEM((p, ATOM_TILE), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )
