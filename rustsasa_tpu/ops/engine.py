@@ -368,11 +368,12 @@ def calculate_sasa_internal(
 
 _FUSED_ATOM_BUDGET = 2_000_000  # atom-slots per fused kernel launch
 
-# Atom-slot buckets for fused chunks (powers of two): every chunk pads to
-# one of these so the whole corpus reuses a handful of compiled shapes.
-_FUSED_M_BUCKETS = [
-    2048, 8192, 32768, 131072, 524288, 1048576, 2097152,
-]
+# Atom-slot buckets for fused chunks: every chunk pads to one of these so
+# the whole corpus reuses a handful of compiled shapes.  Deliberately few:
+# Mosaic compiles of the fused kernel are expensive (minutes via the
+# remote compile service) and padding tiles cost almost nothing (their
+# j-ranges are empty).
+_FUSED_M_BUCKETS = [8192, 131072, 2097152]
 
 
 def _compute_fused(

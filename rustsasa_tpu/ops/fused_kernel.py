@@ -257,14 +257,19 @@ def pack_structures(
         planes[4, pos:pos + n] = g
         area[0, pos:pos + n] = four_pi_over_n * r_eff * r_eff
 
-        for t in range(nt):
-            lo = t * ATOM_TILE
-            hi = min(lo + ATOM_TILE, n)
-            tt = tile0 + t
-            tile_tab[tt, 0:3] = c[lo:hi].min(axis=0)
-            tile_tab[tt, 3:6] = c[lo:hi].max(axis=0)
-            tile_tab[tt, 6] = r_eff[lo:hi].max()
-            tile_rng[tt] = (tile0, tile0 + nt)
+        # Vectorized per-tile AABB + max reach.
+        slots = nt * ATOM_TILE
+        cmin = np.full((slots, 3), _FAR, dtype=np.float32)
+        cmin[:n] = c
+        cmax = np.full((slots, 3), -_FAR, dtype=np.float32)
+        cmax[:n] = c
+        rpad = np.zeros(slots, dtype=np.float32)
+        rpad[:n] = r_eff
+        sl = slice(tile0, tile0 + nt)
+        tile_tab[sl, 0:3] = cmin.reshape(nt, ATOM_TILE, 3).min(axis=1)
+        tile_tab[sl, 3:6] = cmax.reshape(nt, ATOM_TILE, 3).max(axis=1)
+        tile_tab[sl, 6] = rpad.reshape(nt, ATOM_TILE).max(axis=1)
+        tile_rng[sl] = (tile0, tile0 + nt)
 
         offsets.append((pos, n, inv))
         tile0 += nt
