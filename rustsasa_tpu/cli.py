@@ -90,6 +90,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "-R", "--read-radii-from-occupancy", action="store_true",
         help="Read atomic radii from the occupancy column.",
     )
+    p.add_argument(
+        "-T", "--trajectory-topology", default=None, metavar="STRUCTURE",
+        help="Treat the input as a DCD trajectory with this PDB/mmCIF "
+             "topology; output is per-frame SASA JSON (the mdsasa-bolt "
+             "workload).",
+    )
     return p
 
 
@@ -128,6 +134,9 @@ def run(args: argparse.Namespace) -> int:
                 f"{args.input}"
             )
         raise CLIError(f"Input path does not exist: {args.input}")
+
+    if args.trajectory_topology is not None:
+        return _run_trajectory(args)
 
     if os.path.isdir(args.input):
         if args.format is None:
@@ -181,6 +190,39 @@ def run(args: argparse.Namespace) -> int:
             )
         with open(args.output, "w", encoding="utf-8") as f:
             f.write(payload)
+    except OSError as e:
+        raise CLIError(f"Failed to write output file: {e}") from e
+    print("Finished!")
+    return 0
+
+
+def _run_trajectory(args: argparse.Namespace) -> int:
+    """Per-frame trajectory SASA -> JSON (totals + per-residue tracks)."""
+    import json
+
+    from .trajectory import compute_trajectory_sasa
+
+    opts = _make_options(args)
+    print("Processing trajectory...")
+    try:
+        result = compute_trajectory_sasa(
+            args.trajectory_topology, args.input, opts
+        )
+    except Exception as e:  # noqa: BLE001 - typed exit below
+        raise CLIError(f"SASA calculation failed: {e}") from e
+    payload: dict = {
+        "n_frames": result.n_frames,
+        "n_atoms": result.n_atoms,
+        "totals": [round(float(v), 4) for v in result.totals],
+    }
+    if result.residue_values is not None:
+        payload["residue_names"] = result.residue_names
+        payload["residues"] = [
+            [round(float(v), 4) for v in row] for row in result.residue_values
+        ]
+    try:
+        with open(args.output, "w", encoding="utf-8") as f:
+            json.dump(payload, f)
     except OSError as e:
         raise CLIError(f"Failed to write output file: {e}") from e
     print("Finished!")

@@ -171,3 +171,28 @@ def test_radii_from_occupancy(tmp_path):
     atoms = parse_json_result(out.read_text()).atoms
     # Radius 2.0 from occupancy: SASA = 4*pi*(2.0+1.4)^2
     assert atoms[0] == pytest.approx(4 * np.pi * 3.4**2, rel=1e-3)
+
+
+def test_trajectory_cli(tmp_path):
+    import numpy as np
+    from rustsasa_tpu.trajectory import write_dcd
+    from rustsasa_tpu.io.read import read_structure
+
+    top = tmp_path / "top.pdb"
+    top.write_text(
+        "ATOM      1  N   ALA A   1      20.154  16.967  25.000  1.00 10.00"
+        "           N\n"
+        "ATOM      2  CA  ALA A   1      19.030  16.155  25.000  1.00 15.00"
+        "           C\nEND\n"
+    )
+    s = read_structure(str(top))
+    coords = np.stack([s.atoms.coords, s.atoms.coords + 5.0])
+    dcd = tmp_path / "t.dcd"
+    write_dcd(str(dcd), coords)
+    out = tmp_path / "traj.json"
+    assert run_cli(dcd, out, "-T", top) == 0
+    data = json.loads(out.read_text())
+    assert data["n_frames"] == 2
+    assert len(data["totals"]) == 2
+    assert data["totals"][0] == pytest.approx(data["totals"][1], rel=1e-4)
+    assert data["residue_names"] == ["ALA"]
