@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Quality report vs FreeSASA: RMSE + Pearson r per output depth.
+
+The analog of the reference's paper eval quality tooling
+(reference: paper/eval/scripts/quality_scatter.py): runs the batch
+pipeline over a PDB directory and compares chain totals against stored
+FreeSASA JSON outputs.
+
+Usage:
+    python scripts/quality_report.py [pdb_dir] [reference_dir]
+Defaults to the reference quality-gate dataset.
+"""
+
+import json
+import math
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pearson(xs, ys):
+    n = len(xs)
+    mx = sum(xs) / n
+    my = sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    vx = sum((a - mx) ** 2 for a in xs)
+    vy = sum((b - my) ** 2 for b in ys)
+    return cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+
+
+def main() -> int:
+    pdb_dir = sys.argv[1] if len(sys.argv) > 1 else (
+        "/root/reference/tests/data/freesasa_pdbs"
+    )
+    ref_dir = sys.argv[2] if len(sys.argv) > 2 else (
+        "/root/reference/tests/data/freesasa_reference"
+    )
+
+    from rustsasa_tpu.api import SASAOptions
+    from rustsasa_tpu.batch import process_directory
+    from rustsasa_tpu.levels import Level
+
+    for depth in ("residue", "chain", "atom", "protein"):
+        use_file_total = depth in ("atom", "protein")
+        out_dir = tempfile.mkdtemp(prefix=f"rsasa_quality_{depth}_")
+        report = process_directory(
+            pdb_dir, out_dir, SASAOptions(level=Level(depth)), "json",
+            progress=False,
+        )
+        ours, ref = [], []
+        for fname in sorted(os.listdir(ref_dir)):
+            if not fname.endswith(".json"):
+                continue
+            out_path = os.path.join(out_dir, fname)
+            if not os.path.exists(out_path):
+                continue
+            with open(os.path.join(ref_dir, fname)) as f:
+                ref_data = json.load(f)
+            ref_chains = {}
+            total = 0.0
+            for result in ref_data["results"]:
+                for structure in result["structure"]:
+                    for chain in structure["chains"]:
+                        ref_chains[chain["label"]] = chain["area"]["total"]
+                        total += chain["area"]["total"]
+            stem = os.path.splitext(fname)[0]
+            with open(out_path) as f:
+                data = json.load(f)
+            mine = {}
+            if "Atom" in data:
+                mine[stem] = float(sum(data["Atom"]))
+            elif "Residue" in data:
+                for r in data["Residue"]:
+                    mine[r["chain_id"]] = mine.get(r["chain_id"], 0.0) + r["value"]
+            elif "Chain" in data:
+                for c in data["Chain"]:
+                    mine[c["name"]] = c["value"]
+            elif "Protein" in data:
+                mine[stem] = data["Protein"]["global_total"]
+            targets = {stem: total} if use_file_total else ref_chains
+            for key, rv in targets.items():
+                if key in mine:
+                    ref.append(rv)
+                    ours.append(mine[key])
+        rmse = math.sqrt(
+            sum((a - b) ** 2 for a, b in zip(ours, ref)) / len(ours)
+        )
+        print(
+            f"[{depth:8s}] n={len(ours):4d}  RMSE={rmse:8.2f} A^2  "
+            f"pearson_r={pearson(ours, ref):.5f}  "
+            f"({report.n_ok}/{report.n_files} files)"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
