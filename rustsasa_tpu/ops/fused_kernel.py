@@ -47,10 +47,10 @@ TILE_TAB_W = 8
 
 
 def _fused_kernel(
-    rng_ref,  # scalar prefetch [T, 2] i32: j-tile [start, end) per i-tile
     sphere_ref,  # [P, 128] f32: cols 0..2 sx,sy,sz; col 3 point_valid
     planes_i_ref,  # [N_PLANES, A] f32: this i-tile's atom planes
-    tile_tab_ref,  # [T_pad, TILE_TAB_W] f32 in SMEM
+    tile_tab_ref,  # [T_pad, TILE_TAB_W] f32 in VMEM
+    rng_ref,  # [T_pad, TILE_TAB_W] i32 in VMEM: cols 0/1 = j range
     area_ref,  # [1, A] f32
     planes_hbm_ref,  # [N_PLANES, M] f32 in ANY/HBM: all atom planes
     out_ref,  # [1, A] f32
@@ -168,18 +168,25 @@ def fused_sasa(
     t = m // ATOM_TILE
     p = sphere128.shape[0]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    t_pad = tile_tab.shape[0]
+    rng8 = jnp.zeros((t_pad, TILE_TAB_W), dtype=jnp.int32)
+    rng8 = rng8.at[: tile_rng.shape[0], 0:2].set(tile_rng)
+    out = pl.pallas_call(
+        _fused_kernel,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((p, 128), lambda i, _: (0, 0)),
-            pl.BlockSpec((N_PLANES, ATOM_TILE), lambda i, _: (0, i)),
-            # Tile table lives in SMEM: the AABB cull is pure scalar math.
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ATOM_TILE), lambda i, _: (0, i)),
+            pl.BlockSpec((p, 128), lambda i: (0, 0)),
+            pl.BlockSpec((N_PLANES, ATOM_TILE), lambda i: (0, i)),
+            # Tables stay in VMEM; per-tile scalars are read with dynamic
+            # SUBLANE indices (legal in Mosaic; SMEM at this size is not -
+            # SMEM scalars cost 64B each and the budget is 1MB).
+            pl.BlockSpec((t_pad, TILE_TAB_W), lambda i: (0, 0)),
+            pl.BlockSpec((t_pad, TILE_TAB_W), lambda i: (0, 0)),
+            pl.BlockSpec((1, ATOM_TILE), lambda i: (0, i)),
             pl.BlockSpec(memory_space=pl.ANY),  # full planes, DMA-d
         ],
-        out_specs=pl.BlockSpec((1, ATOM_TILE), lambda i, _: (0, i)),
+        out_specs=pl.BlockSpec((1, ATOM_TILE), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
         scratch_shapes=[
             # SMEM: the j-tile atom planes are consumed as scalars
             # (dynamic per-atom indexing is an SMEM operation on TPU).
@@ -187,13 +194,8 @@ def fused_sasa(
             pltpu.VMEM((p, ATOM_TILE), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
-    )
-    out = pl.pallas_call(
-        _fused_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
         interpret=interpret,
-    )(tile_rng, sphere128, planes, tile_tab, area, planes)
+    )(sphere128, planes, tile_tab, rng8, area, planes)
     return out.reshape(m)
 
 
