@@ -1,0 +1,74 @@
+"""Engine internals: bucketing, overflow re-runs, gid handling."""
+
+import numpy as np
+import pytest
+
+from rustsasa_tpu.ops.engine import (
+    BatchedSasaEngine,
+    SasaParams,
+    _dense_gids,
+    _initial_k,
+    _round_bucket,
+    _N_BUCKETS,
+    calculate_sasa_internal,
+)
+
+
+def test_round_bucket():
+    assert _round_bucket(1, _N_BUCKETS) == 8
+    assert _round_bucket(129, _N_BUCKETS) == 256
+    assert _round_bucket(70000, _N_BUCKETS) == 2 * 65536
+
+
+def test_dense_gids_passthrough_and_factorize():
+    g = np.array([0, 1, 2], np.int32)
+    assert _dense_gids(g, 3) is g
+    g64 = np.array([100, 100, 7], np.int64)
+    out = _dense_gids(g64, 3)
+    assert out.dtype == np.int32
+    assert out[0] == out[1] != out[2]
+
+
+def test_overflow_rebucket_exactness():
+    """A dense cluster exceeding the initial K must still be exact."""
+    rng = np.random.default_rng(0)
+    n = 300
+    # Very dense ball: hundreds of neighbors within cutoff.
+    coords = rng.normal(0, 2.5, (n, 3)).astype(np.float32)
+    radii = np.full(n, 1.8, np.float32)
+    out = calculate_sasa_internal(coords, radii, backend="xla")
+    # Brute-force check on a few atoms.
+    from rustsasa_tpu.ops.sphere import sphere_points
+
+    S = sphere_points(100)
+    probe = 1.4
+    for i in (0, 57, 123):
+        reff = radii[i] + probe
+        pts = coords[i] + reff * S
+        d2 = ((pts[:, None, :] - coords[None, :, :]) ** 2).sum(-1)
+        occ = d2 < ((radii + probe) ** 2)[None, :]
+        occ[:, i] = False
+        expected = 4 * np.pi * reff**2 * (~occ.any(1)).sum() / 100
+        assert out[i] == pytest.approx(expected, abs=1.5)
+
+
+def test_batched_mixed_sizes_and_empty():
+    rng = np.random.default_rng(1)
+    structures = []
+    for n in (0, 5, 100, 700):
+        c = rng.uniform(0, 20, (n, 3)).astype(np.float32)
+        r = np.full(n, 1.7, np.float32)
+        structures.append((c, r, None))
+    outs = BatchedSasaEngine(SasaParams(), backend="xla").compute(structures)
+    assert [len(o) for o in outs] == [0, 5, 100, 700]
+    singles = [
+        calculate_sasa_internal(c, r, backend="xla")
+        for c, r, _ in structures
+    ]
+    for a, b in zip(outs, singles):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_initial_k_capped_by_n():
+    assert _initial_k(8) == 8
+    assert _initial_k(4096) == 160
