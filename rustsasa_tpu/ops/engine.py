@@ -395,6 +395,8 @@ def _compute_fused(
     )
     pending = []  # (chunk, offsets, device_out)
 
+    fallback: list[int] = []
+
     def flush(chunk):
         if not chunk:
             return
@@ -404,33 +406,27 @@ def _compute_fused(
             triples.append(
                 (coords, radii, _dense_gids(gids, coords.shape[0]))
             )
-        planes, tab, rng_arr, area, offsets = fused_kernel.pack_structures(
-            triples, probe, n_points
-        )
+        try:
+            planes, jlist, area, offsets = fused_kernel.pack_structures(
+                triples, probe, n_points
+            )
+        except fused_kernel.JListOverflow:
+            # Pathologically connected tiling: route this chunk through
+            # the list-based path instead (exactness over speed).
+            fallback.extend(chunk)
+            return
         # Pad atom slots to a bucketed M so chunk shapes are reused.
         m = planes.shape[1]
         m_pad = _round_bucket(m, _FUSED_M_BUCKETS)
         if m_pad != m:
             planes = np.pad(planes, ((0, 0), (0, m_pad - m)))
             area = np.pad(area, ((0, 0), (0, m_pad - m)))
-            extra_t = (m_pad - m) // fused_kernel.ATOM_TILE
-            tab_pad = np.zeros((extra_t, tab.shape[1]), dtype=np.float32)
-            tab_pad[:, 0:3] = fused_kernel._FAR
-            tab_pad[:, 3:6] = -fused_kernel._FAR
-            tab = np.vstack([tab, tab_pad])
-            rng_arr = np.vstack(
-                [rng_arr, np.zeros((extra_t, 2), dtype=np.int32)]
+            jlist = np.pad(
+                jlist,
+                ((0, 0), (0, (m_pad - m) // fused_kernel.ATOM_TILE)),
             )
-        # Sublane-align the tile-table rows.
-        t = tab.shape[0]
-        t_pad = _round_up(max(t, 8), 8)
-        if t_pad != t:
-            pad = np.zeros((t_pad - t, tab.shape[1]), dtype=np.float32)
-            pad[:, 0:3] = fused_kernel._FAR
-            pad[:, 3:6] = -fused_kernel._FAR
-            tab = np.vstack([tab, pad])
         out = fused_kernel.fused_sasa(
-            planes, tab, rng_arr, area, sphere128, interpret=interpret
+            planes, jlist, area, sphere128, interpret=interpret
         )
         pending.append((chunk, offsets, out))
 
@@ -450,6 +446,15 @@ def _compute_fused(
         out_np = np.asarray(out)
         for i, (pos, n, inv) in zip(chunk, offsets):
             results[i] = out_np[pos:pos + n][inv]
+
+    if fallback:
+        eng = BatchedSasaEngine(
+            SasaParams(probe_radius=probe, n_points=n_points), backend="xla"
+        )
+        for i, out in zip(
+            fallback, eng.compute([structures[i] for i in fallback])
+        ):
+            results[i] = out
     return results  # type: ignore[return-value]
 
 

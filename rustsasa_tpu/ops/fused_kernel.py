@@ -8,22 +8,21 @@ src/structures/spatial_grid.rs):
 
   * atoms are Morton-sorted per structure (host side) so spatial locality
     maps to tile locality;
-  * grid over 128-atom i-tiles; each i-tile loops over the j-tiles of its
-    own structure, AABB-culled: a tile pair is processed only when the
-    boxes are within occlusion reach (max r_eff_i + max r_eff_j) - the
-    analog of the reference's half-shell cell iteration, minus the
-    branching: culling is a scalar predicate per tile pair;
-  * surviving j-tiles are DMA'd into VMEM and every j-atom updates the
-    [P points x A atoms] occlusion mask with exact f32 arithmetic:
-    dot(s_p, v) < (thr_j - |v|^2 - r_eff_i^2) / (2 r_eff_i),
-    which self-masks out-of-reach pairs (limit < -|v| whenever
-    |v| > r_eff_i + r_j + probe), so no candidate cutoff test is needed;
-  * per-j-atom early-out: if no i-atom in the tile is within reach the
-    [P, A] update is skipped (scalar-predicated, no divergence).
+  * tile-pair culling happens ON THE HOST: for every 128-atom i-tile the
+    packer computes the list of j-tiles whose AABBs are within occlusion
+    reach (the analog of the reference's half-shell cell iteration,
+    spatial_grid.rs:174-192).  The kernel itself is two straight-line
+    nested loops - no conditionals, no wasted in-kernel culling math;
+  * each active j-tile is DMA'd into SMEM and every j-atom updates the
+    [P points x A atoms] occlusion margin with exact f32 arithmetic:
+    margin = (thr_j - |v|^2 - r_eff_i^2)/(2 r_eff_i) - dot(s_p, v),
+    occluded iff margin > 0 for any neighbor.  The margin self-masks
+    out-of-reach pairs (limit < -|v| whenever |v| > r_eff_i + r_j + probe)
+    so no per-pair cutoff test is needed - 5 [P, A] vector ops per j-atom;
+  * double-buffered DMA overlaps the next j-tile fetch with compute.
 
 Everything after the per-structure packing runs in one pallas_call per
-chunk; HBM traffic is one linear read of the atom planes per active tile
-pair (4KB DMAs) plus the output row.
+chunk; HBM traffic is one 4KB read per active tile pair plus the output.
 """
 
 from __future__ import annotations
@@ -38,27 +37,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 ATOM_TILE = 128
 _NEG_BIG = np.float32(-1e30)
-_FAR = np.float32(3.0e4)  # AABB sentinel for all-padding tiles
 
 # planes rows: x, y, z, r_eff, gid(+1, 0=padding), unused*3
 N_PLANES = 8
-# tile table lanes: minx,miny,minz,maxx,maxy,maxz,max_reff,unused
-TILE_TAB_W = 8
+# j-list column layout: row 0 = count, rows 1..count = j-tile ids.
+JLIST_ROWS = 128
+JLIST_CAP = JLIST_ROWS - 1
+
+
+class JListOverflow(ValueError):
+    """An i-tile has more than JLIST_CAP in-reach j-tiles."""
 
 
 def _fused_kernel(
     sphere_ref,  # [P, 128] f32: cols 0..2 sx,sy,sz; col 3 point_valid
     planes_i_ref,  # [N_PLANES, A] f32: this i-tile's atom planes
-    tile_tab_ref,  # [T_pad, TILE_TAB_W] f32 in VMEM
-    rng_ref,  # [T_pad, TILE_TAB_W] i32 in VMEM: cols 0/1 = j range
+    jlist_ref,  # [JLIST_ROWS, 1] i32: count + active j-tile ids
     area_ref,  # [1, A] f32
     planes_hbm_ref,  # [N_PLANES, M] f32 in ANY/HBM: all atom planes
     out_ref,  # [1, A] f32
-    jbuf,  # SMEM scratch [N_PLANES, A]: j-tile consumed as scalars
+    jbuf,  # SMEM scratch [2, N_PLANES, A]: double-buffered j-tiles
     occ_ref,  # VMEM scratch [P, A]: occlusion-margin accumulator
-    sem,  # DMA semaphore
+    sems,  # DMA semaphores [2]
 ):
-    i = pl.program_id(0)
     a = planes_i_ref.shape[1]
 
     xi = planes_i_ref[0:1, :]
@@ -75,34 +76,36 @@ def _fused_kernel(
     szb = sphere_ref[:, 2:3] * ones_a
     pv = sphere_ref[:, 3:4] * ones_a
 
-    occ_ref[...] = jnp.full_like(occ_ref, _NEG_BIG)
+    cnt = jlist_ref[0, 0]
 
-    # i-tile bounds (scalars).
-    iminx = tile_tab_ref[i, 0]
-    iminy = tile_tab_ref[i, 1]
-    iminz = tile_tab_ref[i, 2]
-    imaxx = tile_tab_ref[i, 3]
-    imaxy = tile_tab_ref[i, 4]
-    imaxz = tile_tab_ref[i, 5]
-    imaxr = tile_tab_ref[i, 6]
-
-    def process_tile(j):
-        dma = pltpu.make_async_copy(
-            planes_hbm_ref.at[:, pl.ds(j * a, a)], jbuf, sem
+    def start_dma(slot, idx):
+        j = jlist_ref[idx + 1, 0]
+        return pltpu.make_async_copy(
+            planes_hbm_ref.at[:, pl.ds(j * a, a)],
+            jbuf.at[slot],
+            sems.at[slot],
         )
-        dma.start()
-        dma.wait()
+
+    @pl.when(cnt > 0)
+    def _():
+        start_dma(0, 0).start()
+
+    def process(idx, occ):
+        slot = jax.lax.rem(idx, 2)
+
+        @pl.when(idx + 1 < cnt)
+        def _():
+            start_dma(1 - slot, idx + 1).start()
+
+        start_dma(slot, idx).wait()
 
         def katom(k, occ):
-            # Branchless occlusion-margin update: occluded iff
-            # margin = lim - dot(s, v) > 0 for any neighbor; the limit
-            # self-masks out-of-reach atoms and the gid/padding test folds
-            # into the same max-accumulation.  5 [P,A] vector ops/atom.
-            xk = jbuf[0, k]
-            yk = jbuf[1, k]
-            zk = jbuf[2, k]
-            rk = jbuf[3, k]
-            gk = jbuf[4, k]
+            # Branchless margin update: 5 [P,A] vector ops per j-atom.
+            xk = jbuf[slot, 0, k]
+            yk = jbuf[slot, 1, k]
+            zk = jbuf[slot, 2, k]
+            rk = jbuf[slot, 3, k]
+            gk = jbuf[slot, 4, k]
             vx = xi - xk
             vy = yi - yk
             vz = zi - zk
@@ -112,37 +115,11 @@ def _fused_kernel(
             dots = sxb * vx + (syb * vy + szb * vz)
             return jnp.maximum(occ, lim - dots)
 
-        tile_occ = jax.lax.fori_loop(
-            0, a, katom, jnp.full((sphere_ref.shape[0], a), _NEG_BIG)
-        )
-        occ_ref[...] = jnp.maximum(occ_ref[...], tile_occ)
+        return jax.lax.fori_loop(0, a, katom, occ)
 
-    def maybe_tile(j, carry):
-        # AABB separation vs occlusion reach (all scalar SMEM math).
-        dx = jnp.maximum(
-            jnp.maximum(iminx - tile_tab_ref[j, 3], tile_tab_ref[j, 0] - imaxx),
-            0.0,
-        )
-        dy = jnp.maximum(
-            jnp.maximum(iminy - tile_tab_ref[j, 4], tile_tab_ref[j, 1] - imaxy),
-            0.0,
-        )
-        dz = jnp.maximum(
-            jnp.maximum(iminz - tile_tab_ref[j, 5], tile_tab_ref[j, 2] - imaxz),
-            0.0,
-        )
-        sep2 = dx * dx + dy * dy + dz * dz
-        reach = imaxr + tile_tab_ref[j, 6]
-
-        @pl.when(sep2 <= reach * reach)
-        def _():
-            process_tile(j)
-
-        return carry
-
-    jstart = rng_ref[i, 0]
-    jend = rng_ref[i, 1]
-    jax.lax.fori_loop(jstart, jend, maybe_tile, 0)
+    occ0 = jnp.full((sphere_ref.shape[0], a), _NEG_BIG)
+    occ = jax.lax.fori_loop(0, cnt, process, occ0)
+    occ_ref[...] = occ
 
     # Occluded iff the accumulated margin is strictly positive
     # (matches the reference's `dot < limit` strict comparison, lib.rs:146).
@@ -157,8 +134,7 @@ def _fused_kernel(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_sasa(
     planes: jnp.ndarray,  # [N_PLANES, M] f32
-    tile_tab: jnp.ndarray,  # [T, TILE_TAB_W] f32
-    tile_rng: jnp.ndarray,  # [T, 2] i32
+    jlist: jnp.ndarray,  # [JLIST_ROWS, T] i32
     area: jnp.ndarray,  # [1, M] f32
     sphere128: jnp.ndarray,  # [P, 128] f32
     *,
@@ -168,34 +144,28 @@ def fused_sasa(
     t = m // ATOM_TILE
     p = sphere128.shape[0]
 
-    t_pad = tile_tab.shape[0]
-    rng8 = jnp.zeros((t_pad, TILE_TAB_W), dtype=jnp.int32)
-    rng8 = rng8.at[: tile_rng.shape[0], 0:2].set(tile_rng)
     out = pl.pallas_call(
         _fused_kernel,
         grid=(t,),
         in_specs=[
             pl.BlockSpec((p, 128), lambda i: (0, 0)),
             pl.BlockSpec((N_PLANES, ATOM_TILE), lambda i: (0, i)),
-            # Tables stay in VMEM; per-tile scalars are read with dynamic
-            # SUBLANE indices (legal in Mosaic; SMEM at this size is not -
-            # SMEM scalars cost 64B each and the budget is 1MB).
-            pl.BlockSpec((t_pad, TILE_TAB_W), lambda i: (0, 0)),
-            pl.BlockSpec((t_pad, TILE_TAB_W), lambda i: (0, 0)),
+            # Per-tile j-list column; ids read via dynamic SUBLANE index.
+            pl.BlockSpec((JLIST_ROWS, 1), lambda i: (0, i)),
             pl.BlockSpec((1, ATOM_TILE), lambda i: (0, i)),
-            pl.BlockSpec(memory_space=pl.ANY),  # full planes, DMA-d
+            pl.BlockSpec(memory_space=pl.ANY),  # full planes, DMA'd
         ],
         out_specs=pl.BlockSpec((1, ATOM_TILE), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
         scratch_shapes=[
-            # SMEM: the j-tile atom planes are consumed as scalars
-            # (dynamic per-atom indexing is an SMEM operation on TPU).
-            pltpu.SMEM((N_PLANES, ATOM_TILE), jnp.float32),
+            # SMEM: j-tile atom planes are consumed as scalars (dynamic
+            # per-atom indexing is an SMEM operation on TPU).
+            pltpu.SMEM((2, N_PLANES, ATOM_TILE), jnp.float32),
             pltpu.VMEM((p, ATOM_TILE), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(sphere128, planes, tile_tab, rng8, area, planes)
+    )(sphere128, planes, jlist, area, planes)
     return out.reshape(m)
 
 
@@ -223,22 +193,18 @@ def pack_structures(
     """Host-side packing for the fused kernel.
 
     structures: list of (coords [n,3] f32, radii [n] f32, gids [n] i32).
-    Returns (planes [8, M], tile_tab [T,8], tile_rng [T,2], area [1,M],
-             offsets) where offsets[i] is (start, n, perm_inverse) for
-    unpacking per-structure results.
+    Returns (planes [8, M], jlist [128, T], area [1, M], offsets) where
+    offsets[i] = (start, n, perm_inverse) for unpacking results.
+
+    Raises JListOverflow when an i-tile has more than JLIST_CAP in-reach
+    j-tiles (callers fall back to the list-based path).
     """
-    tiles_per = [
-        -(-s[0].shape[0] // ATOM_TILE) for s in structures
-    ]
+    tiles_per = [-(-s[0].shape[0] // ATOM_TILE) for s in structures]
     total_tiles = sum(tiles_per)
     m = total_tiles * ATOM_TILE
     planes = np.zeros((N_PLANES, m), dtype=np.float32)
     area = np.zeros((1, m), dtype=np.float32)
-    tile_tab = np.empty((total_tiles, TILE_TAB_W), dtype=np.float32)
-    tile_tab[:, 0:3] = _FAR
-    tile_tab[:, 3:6] = -_FAR
-    tile_tab[:, 6:] = 0.0
-    tile_rng = np.zeros((total_tiles, 2), dtype=np.int32)
+    jlist = np.zeros((JLIST_ROWS, total_tiles), dtype=np.int32)
 
     offsets = []
     tile0 = 0
@@ -259,22 +225,45 @@ def pack_structures(
         planes[4, pos:pos + n] = g
         area[0, pos:pos + n] = four_pi_over_n * r_eff * r_eff
 
-        # Vectorized per-tile AABB + max reach.
+        # Vectorized per-tile AABB + max reach; padding slots are neutral.
         slots = nt * ATOM_TILE
-        cmin = np.full((slots, 3), _FAR, dtype=np.float32)
+        big = np.float32(3e4)
+        cmin = np.full((slots, 3), big, dtype=np.float32)
         cmin[:n] = c
-        cmax = np.full((slots, 3), -_FAR, dtype=np.float32)
+        cmax = np.full((slots, 3), -big, dtype=np.float32)
         cmax[:n] = c
         rpad = np.zeros(slots, dtype=np.float32)
         rpad[:n] = r_eff
+        tmin = cmin.reshape(nt, ATOM_TILE, 3).min(axis=1)
+        tmax = cmax.reshape(nt, ATOM_TILE, 3).max(axis=1)
+        tmaxr = rpad.reshape(nt, ATOM_TILE).max(axis=1)
+
+        # Host-side tile-pair culling: [nt, nt] AABB separation test.
+        gap = np.maximum(
+            np.maximum(
+                tmin[:, None, :] - tmax[None, :, :],
+                tmin[None, :, :] - tmax[:, None, :],
+            ),
+            0.0,
+        )
+        sep2 = (gap * gap).sum(axis=2)
+        reach = tmaxr[:, None] + tmaxr[None, :]
+        active = sep2 <= reach * reach  # [nt_i, nt_j]
+        counts = active.sum(axis=1)
+        if counts.max(initial=0) > JLIST_CAP:
+            raise JListOverflow(
+                f"tile with {int(counts.max())} active j-tiles > {JLIST_CAP}"
+            )
         sl = slice(tile0, tile0 + nt)
-        tile_tab[sl, 0:3] = cmin.reshape(nt, ATOM_TILE, 3).min(axis=1)
-        tile_tab[sl, 3:6] = cmax.reshape(nt, ATOM_TILE, 3).max(axis=1)
-        tile_tab[sl, 6] = rpad.reshape(nt, ATOM_TILE).max(axis=1)
-        tile_rng[sl] = (tile0, tile0 + nt)
+        jlist[0, sl] = counts
+        ii, jj = np.nonzero(active)
+        if len(ii):
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            row_pos = np.arange(len(ii)) - np.repeat(starts, counts)
+            jlist[1 + row_pos, tile0 + ii] = jj + tile0
 
         offsets.append((pos, n, inv))
         tile0 += nt
         pos += nt * ATOM_TILE
 
-    return planes, tile_tab, tile_rng, area, offsets
+    return planes, jlist, area, offsets
