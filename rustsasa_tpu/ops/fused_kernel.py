@@ -52,7 +52,7 @@ class JListOverflow(ValueError):
 def _fused_kernel(
     sphere_ref,  # [P, 128] f32: cols 0..2 sx,sy,sz; col 3 point_valid
     planes_i_ref,  # [N_PLANES, A] f32: this i-tile's atom planes
-    jlist_ref,  # [JLIST_ROWS, 1] i32: count + active j-tile ids
+    jlist_ref,  # [8, JLIST_ROWS] i32 SMEM window: row i%8 = count + ids
     area_ref,  # [1, A] f32
     planes_hbm_ref,  # [N_PLANES, M] f32 in ANY/HBM: all atom planes
     out_ref,  # [1, A] f32
@@ -76,10 +76,11 @@ def _fused_kernel(
     szb = sphere_ref[:, 2:3] * ones_a
     pv = sphere_ref[:, 3:4] * ones_a
 
-    cnt = jlist_ref[0, 0]
+    jrow = jax.lax.rem(pl.program_id(0), 8)
+    cnt = jlist_ref[jrow, 0]
 
     def start_dma(slot, idx):
-        j = jlist_ref[idx + 1, 0]
+        j = jlist_ref[jrow, idx + 1]
         return pltpu.make_async_copy(
             planes_hbm_ref.at[:, pl.ds(j * a, a)],
             jbuf.at[slot],
@@ -143,6 +144,9 @@ def fused_sasa(
     m = planes.shape[1]
     t = m // ATOM_TILE
     p = sphere128.shape[0]
+    t_pad = ((t + 7) // 8) * 8
+    if jlist.shape[0] != t_pad:
+        jlist = jnp.pad(jlist, ((0, t_pad - jlist.shape[0]), (0, 0)))
 
     out = pl.pallas_call(
         _fused_kernel,
@@ -150,8 +154,12 @@ def fused_sasa(
         in_specs=[
             pl.BlockSpec((p, 128), lambda i: (0, 0)),
             pl.BlockSpec((N_PLANES, ATOM_TILE), lambda i: (0, i)),
-            # Per-tile j-list column; ids read via dynamic SUBLANE index.
-            pl.BlockSpec((JLIST_ROWS, 1), lambda i: (0, i)),
+            # J-lists ride in SMEM (8-tile windows): dynamic scalar
+            # indexing on both dims is an SMEM capability.
+            pl.BlockSpec(
+                (8, JLIST_ROWS), lambda i: (i // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec((1, ATOM_TILE), lambda i: (0, i)),
             pl.BlockSpec(memory_space=pl.ANY),  # full planes, DMA'd
         ],
@@ -193,7 +201,7 @@ def pack_structures(
     """Host-side packing for the fused kernel.
 
     structures: list of (coords [n,3] f32, radii [n] f32, gids [n] i32).
-    Returns (planes [8, M], jlist [128, T], area [1, M], offsets) where
+    Returns (planes [8, M], jlist [T, 128], area [1, M], offsets) where
     offsets[i] = (start, n, perm_inverse) for unpacking results.
 
     Raises JListOverflow when an i-tile has more than JLIST_CAP in-reach
@@ -204,7 +212,7 @@ def pack_structures(
     m = total_tiles * ATOM_TILE
     planes = np.zeros((N_PLANES, m), dtype=np.float32)
     area = np.zeros((1, m), dtype=np.float32)
-    jlist = np.zeros((JLIST_ROWS, total_tiles), dtype=np.int32)
+    jlist = np.zeros((total_tiles, JLIST_ROWS), dtype=np.int32)
 
     offsets = []
     tile0 = 0
@@ -255,12 +263,12 @@ def pack_structures(
                 f"tile with {int(counts.max())} active j-tiles > {JLIST_CAP}"
             )
         sl = slice(tile0, tile0 + nt)
-        jlist[0, sl] = counts
+        jlist[sl, 0] = counts
         ii, jj = np.nonzero(active)
         if len(ii):
             starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
             row_pos = np.arange(len(ii)) - np.repeat(starts, counts)
-            jlist[1 + row_pos, tile0 + ii] = jj + tile0
+            jlist[tile0 + ii, 1 + row_pos] = jj + tile0
 
         offsets.append((pos, n, inv))
         tile0 += nt
