@@ -25,6 +25,7 @@ from .api import SASAOptions
 from .io.read import read_structure
 from .io.serialize import (
     fast_selection_json,
+    fast_selection_xml,
     sasa_result_to_bfactors,
     sasa_result_to_json,
     sasa_result_to_xml,
@@ -152,6 +153,8 @@ def process_directory(
             if output_format == "json":
                 # Vectorized hot path - no per-residue Python objects.
                 payload = fast_selection_json(sel, atom_sasa, options.level)
+            elif output_format == "xml":
+                payload = fast_selection_xml(sel, atom_sasa, options.level)
             else:
                 result = aggregate(sel, atom_sasa, options.level)
                 payload = serialize_result(structure, result, output_format)

@@ -238,6 +238,47 @@ def fast_selection_json(sel, atom_sasa: np.ndarray, level: Level) -> str:
     return sasa_result_to_json(aggregate(sel, atom_sasa, level))
 
 
+def _xml_str_col(values: np.ndarray) -> np.ndarray:
+    arr = np.asarray(values).astype("U16")
+    uq, inv = np.unique(arr, return_inverse=True)
+    esc = np.array([escape(str(u)) for u in uq], dtype="U48")
+    return esc[inv]
+
+
+def fast_selection_xml(sel, atom_sasa: np.ndarray, level: Level) -> str:
+    """Hot-path XML straight from selection arrays (quick-xml shapes)."""
+    from ..constants import POLAR_AMINO_ACIDS
+    from ..levels import _residue_sums, aggregate
+
+    if level is Level.ATOM:
+        vals = _json_float_col(atom_sasa)
+        return "".join(
+            np.char.add(np.char.add("<Atom>", vals), "</Atom>")
+        )
+    if level is Level.RESIDUE:
+        sums = _residue_sums(sel, atom_sasa)
+        if sel.n_residues == 0:
+            return ""
+        polar = np.isin(sel.res_name.astype("U8"), sorted(POLAR_AMINO_ACIDS))
+        chain_col = np.array(sel.chain_ids, dtype="U16")[sel.res_chain_idx]
+        parts = np.char.add(
+            "<Residue><serial_number>", sel.res_serial.astype("U20")
+        )
+        parts = np.char.add(parts, "</serial_number><insertion_code>")
+        parts = np.char.add(parts, _xml_str_col(sel.res_icode))
+        parts = np.char.add(parts, "</insertion_code><value>")
+        parts = np.char.add(parts, _json_float_col(sums))
+        parts = np.char.add(parts, "</value><name>")
+        parts = np.char.add(parts, _xml_str_col(sel.res_name))
+        parts = np.char.add(parts, "</name><is_polar>")
+        parts = np.char.add(parts, np.where(polar, "true", "false").astype("U5"))
+        parts = np.char.add(parts, "</is_polar><chain_id>")
+        parts = np.char.add(parts, _xml_str_col(chain_col))
+        parts = np.char.add(parts, "</chain_id></Residue>")
+        return "".join(parts)
+    return sasa_result_to_xml(aggregate(sel, atom_sasa, level))
+
+
 def parse_json_result(content: str) -> SASAResult:
     """Read back an externally tagged JSON result (for tests/tools)."""
     import json

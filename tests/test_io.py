@@ -209,3 +209,26 @@ def test_fast_selection_json_matches_generic():
             assert np.allclose(fast["Atom"], generic["Atom"], atol=1e-4)
         else:
             assert fast == generic
+
+
+def test_fast_selection_xml_matches_generic():
+    from rustsasa_tpu.io.serialize import fast_selection_xml
+    from rustsasa_tpu.levels import aggregate, build_selection
+    from rustsasa_tpu.ops.engine import calculate_sasa_internal
+
+    s = parse_structure(PDB_2CHAINS.encode())
+    for level in (Level.ATOM, Level.RESIDUE, Level.CHAIN, Level.PROTEIN):
+        sel = build_selection(s, level)
+        sasa = calculate_sasa_internal(
+            sel.coords, sel.radii, group_ids=sel.group_ids
+        )
+        fast = fast_selection_xml(sel, sasa, level)
+        generic = sasa_result_to_xml(aggregate(sel, sasa, level))
+        if level in (Level.CHAIN, Level.PROTEIN):
+            assert fast == generic
+        else:
+            # Same tag structure; float renderings differ (%.9g vs shortest)
+            import re
+            assert re.sub(r">[0-9.eE+-]+<", ">#<", fast) == re.sub(
+                r">[0-9.eE+-]+<", ">#<", generic
+            )
