@@ -122,6 +122,12 @@ def _pairwise_d2(coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(d2, 0.0)
 
 
+# Above this atom count the [N,N] working set is row-chunked (a 64k-atom
+# dense d2 would be 16GB; chunks keep it ~1GB).
+_DENSE_N_LIMIT = 8192
+_ROW_CHUNK = 4096
+
+
 def _neighbor_phase(
     packed: jnp.ndarray,  # [N, 4] x,y,z,radius
     group_id: jnp.ndarray,  # [N] i32, -1 for padding
@@ -134,34 +140,66 @@ def _neighbor_phase(
     radii = packed[:, 3]
     valid = group_id >= 0
     n = coords.shape[0]
-    d2 = _pairwise_d2(coords)
+    k_eff = min(k, n)
 
     max_radius = jnp.max(jnp.where(valid, radii, 0.0))
-    cutoff = radii + max_radius + 2.0 * probe  # per-atom search radius
-    pair_ok = (
-        valid[:, None]
-        & valid[None, :]
-        & (group_id[:, None] != group_id[None, :])
-    )
-    cand = pair_ok & (d2 <= cutoff[:, None] * cutoff[:, None] + _CUTOFF_SLACK)
-    counts = jnp.sum(cand, axis=1)
-    max_count = jnp.max(counts)
-
-    k_eff = min(k, n)
-    score = jnp.where(cand, -d2, _NEG_BIG)
-    _, nbr_idx = jax.lax.top_k(score, k_eff)  # [N, k_eff] valid-first
-    nbr_valid = jnp.take_along_axis(cand, nbr_idx, axis=1)
-
-    nc = coords[nbr_idx]  # [N, K, 3]
-    nr = radii[nbr_idx]  # [N, K]
-    v = coords[:, None, :] - nc
-    v2 = jnp.sum(v * v, axis=-1)
     r_eff = radii + probe
-    r2 = r_eff * r_eff
-    thr = (nr + probe) ** 2
-    limit = (thr - v2 - r2[:, None]) / (2.0 * r_eff[:, None])
-    limit = jnp.where(nbr_valid, limit, _NEG_BIG)
-    return v, limit, counts, max_count
+    sq = jnp.sum(coords * coords, axis=-1)
+
+    def rows(lo_coords, lo_radii, lo_gid, lo_sq):
+        """Neighbor selection for one block of rows against all columns."""
+        cross = jnp.dot(
+            lo_coords, coords.T, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d2 = jnp.maximum(lo_sq[:, None] + sq[None, :] - 2.0 * cross, 0.0)
+        cutoff = lo_radii + max_radius + 2.0 * probe
+        pair_ok = (
+            (lo_gid >= 0)[:, None]
+            & valid[None, :]
+            & (lo_gid[:, None] != group_id[None, :])
+        )
+        cand = pair_ok & (
+            d2 <= cutoff[:, None] * cutoff[:, None] + _CUTOFF_SLACK
+        )
+        counts = jnp.sum(cand, axis=1)
+        score = jnp.where(cand, -d2, _NEG_BIG)
+        _, nbr_idx = jax.lax.top_k(score, k_eff)  # valid-first
+        nbr_valid = jnp.take_along_axis(cand, nbr_idx, axis=1)
+        nc = coords[nbr_idx]
+        nr = radii[nbr_idx]
+        v = lo_coords[:, None, :] - nc
+        v2 = jnp.sum(v * v, axis=-1)
+        lo_reff = lo_radii + probe
+        thr = (nr + probe) ** 2
+        limit = (thr - v2 - (lo_reff * lo_reff)[:, None]) / (
+            2.0 * lo_reff[:, None]
+        )
+        limit = jnp.where(nbr_valid, limit, _NEG_BIG)
+        return v, limit, counts
+
+    if n <= _DENSE_N_LIMIT or n % _ROW_CHUNK != 0:
+        v, limit, counts = rows(coords, radii, group_id, sq)
+        return v, limit, counts, jnp.max(counts)
+
+    # Row-chunked: lax.map over row blocks bounds peak memory.
+    nc_blocks = n // _ROW_CHUNK
+    def block(args):
+        return rows(*args)
+
+    v_b, lim_b, cnt_b = jax.lax.map(
+        block,
+        (
+            coords.reshape(nc_blocks, _ROW_CHUNK, 3),
+            radii.reshape(nc_blocks, _ROW_CHUNK),
+            group_id.reshape(nc_blocks, _ROW_CHUNK),
+            sq.reshape(nc_blocks, _ROW_CHUNK),
+        ),
+    )
+    v = v_b.reshape(n, k_eff, 3)
+    limit = lim_b.reshape(n, k_eff)
+    counts = cnt_b.reshape(n)
+    return v, limit, counts, jnp.max(counts)
 
 
 def _occlusion_scan(
@@ -406,15 +444,13 @@ def _compute_fused(
             triples.append(
                 (coords, radii, _dense_gids(gids, coords.shape[0]))
             )
-        try:
-            planes, jlist, area, offsets = fused_kernel.pack_structures(
-                triples, probe, n_points
-            )
-        except fused_kernel.JListOverflow:
-            # Pathologically connected tiling: route this chunk through
-            # the list-based path instead (exactness over speed).
-            fallback.extend(chunk)
-            return
+        planes, jlist, area, offsets, failed = fused_kernel.pack_structures(
+            triples, probe, n_points
+        )
+        if failed:
+            # Pathologically connected tiling: route those structures
+            # through the list-based path instead (exactness over speed).
+            fallback.extend(chunk[f] for f in failed)
         # Pad atom slots to a bucketed M so chunk shapes are reused.
         m = planes.shape[1]
         m_pad = _round_bucket(m, _FUSED_M_BUCKETS)
@@ -444,7 +480,10 @@ def _compute_fused(
 
     for chunk, offsets, out in pending:
         out_np = np.asarray(out)
-        for i, (pos, n, inv) in zip(chunk, offsets):
+        for i, off in zip(chunk, offsets):
+            if off is None:
+                continue  # rerouted to fallback
+            pos, n, inv = off
             results[i] = out_np[pos:pos + n][inv]
 
     if fallback:

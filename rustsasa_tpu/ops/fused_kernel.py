@@ -201,11 +201,11 @@ def pack_structures(
     """Host-side packing for the fused kernel.
 
     structures: list of (coords [n,3] f32, radii [n] f32, gids [n] i32).
-    Returns (planes [8, M], jlist [T, 128], area [1, M], offsets) where
-    offsets[i] = (start, n, perm_inverse) for unpacking results.
-
-    Raises JListOverflow when an i-tile has more than JLIST_CAP in-reach
-    j-tiles (callers fall back to the list-based path).
+    Returns (planes [8, M], jlist [T, 128], area [1, M], offsets, failed)
+    where offsets[i] = (start, n, perm_inverse) for unpacking results and
+    `failed` lists input indices whose tiling overflowed JLIST_CAP
+    (callers route those through the list-based path); their offsets are
+    None and their slots are zeroed.
     """
     tiles_per = [-(-s[0].shape[0] // ATOM_TILE) for s in structures]
     total_tiles = sum(tiles_per)
@@ -215,6 +215,7 @@ def pack_structures(
     jlist = np.zeros((total_tiles, JLIST_ROWS), dtype=np.int32)
 
     offsets = []
+    failed: list[int] = []
     tile0 = 0
     pos = 0
     four_pi_over_n = 4.0 * np.pi / n_points
@@ -259,9 +260,15 @@ def pack_structures(
         active = sep2 <= reach * reach  # [nt_i, nt_j]
         counts = active.sum(axis=1)
         if counts.max(initial=0) > JLIST_CAP:
-            raise JListOverflow(
-                f"tile with {int(counts.max())} active j-tiles > {JLIST_CAP}"
-            )
+            # Pathological tiling (e.g. Morton folds spanning the box):
+            # zero this structure's slots and let the caller reroute it.
+            planes[:, pos:pos + n] = 0.0
+            area[0, pos:pos + n] = 0.0
+            failed.append(s_i)
+            offsets.append(None)
+            tile0 += nt
+            pos += nt * ATOM_TILE
+            continue
         sl = slice(tile0, tile0 + nt)
         jlist[sl, 0] = counts
         ii, jj = np.nonzero(active)
@@ -274,4 +281,4 @@ def pack_structures(
         tile0 += nt
         pos += nt * ATOM_TILE
 
-    return planes, jlist, area, offsets
+    return planes, jlist, area, offsets, failed

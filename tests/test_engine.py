@@ -72,3 +72,27 @@ def test_batched_mixed_sizes_and_empty():
 def test_initial_k_capped_by_n():
     assert _initial_k(8) == 8
     assert _initial_k(4096) == 160
+
+
+def test_row_chunked_neighbor_phase_matches_dense():
+    """The row-chunked big-N path must produce identical results."""
+    import functools
+    import jax
+    import rustsasa_tpu.ops.engine as E
+
+    rng = np.random.default_rng(5)
+    n = 1024  # multiple of the patched row chunk below
+    c = rng.uniform(0, 40, (n, 3)).astype(np.float32)
+    r = np.full(n, 1.7, np.float32)
+    gid = np.arange(n, dtype=np.int32)
+    packed = np.concatenate([c, r[:, None]], axis=1).astype(np.float32)
+
+    dense = E._neighbor_phase(packed, gid, probe=1.4, k=64)
+    old_limit, old_chunk = E._DENSE_N_LIMIT, E._ROW_CHUNK
+    try:
+        E._DENSE_N_LIMIT, E._ROW_CHUNK = 256, 256
+        chunked = E._neighbor_phase(packed, gid, probe=1.4, k=64)
+    finally:
+        E._DENSE_N_LIMIT, E._ROW_CHUNK = old_limit, old_chunk
+    for a, b in zip(dense, chunked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
