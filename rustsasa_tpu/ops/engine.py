@@ -136,6 +136,8 @@ def _neighbor_phase(
     k: int,
 ):
     """Candidate selection -> (v [N,K,3], limit [N,K], counts [N], max_count)."""
+    packed = jnp.asarray(packed)
+    group_id = jnp.asarray(group_id)
     coords = packed[:, 0:3]
     radii = packed[:, 3]
     valid = group_id >= 0
