@@ -13,7 +13,7 @@ src/structures/spatial_grid.rs):
     reach (the analog of the reference's half-shell cell iteration,
     spatial_grid.rs:174-192).  The kernel itself is two straight-line
     nested loops - no conditionals, no wasted in-kernel culling math;
-  * each active j-tile is DMA'd into SMEM and every j-atom updates the
+  * each active j-tile is DMA'd into VMEM and every j-atom updates the
     [P points x A atoms] occlusion margin with exact f32 arithmetic:
     margin = (thr_j - |v|^2 - r_eff_i^2)/(2 r_eff_i) - dot(s_p, v),
     occluded iff margin > 0 for any neighbor.  The margin self-masks
@@ -54,9 +54,9 @@ def _fused_kernel(
     planes_i_ref,  # [N_PLANES, A] f32: this i-tile's atom planes
     jlist_ref,  # [8, JLIST_ROWS] i32 SMEM window: row i%8 = count + ids
     area_ref,  # [1, A] f32
-    planes_hbm_ref,  # [N_PLANES, M] f32 in ANY/HBM: all atom planes
+    planes_t_hbm_ref,  # [M, N_PLANES] f32 in ANY/HBM: atom-major planes
     out_ref,  # [1, A] f32
-    jbuf,  # SMEM scratch [2, N_PLANES, A]: double-buffered j-tiles
+    jbuf,  # VMEM scratch [2*A, N_PLANES]: double-buffered j-tiles
     occ_ref,  # VMEM scratch [P, A]: occlusion-margin accumulator
     sems,  # DMA semaphores [2]
 ):
@@ -82,8 +82,8 @@ def _fused_kernel(
     def start_dma(slot, idx):
         j = jlist_ref[jrow, idx + 1]
         return pltpu.make_async_copy(
-            planes_hbm_ref.at[:, pl.ds(j * a, a)],
-            jbuf.at[slot],
+            planes_t_hbm_ref.at[pl.ds(j * a, a), :],
+            jbuf.at[pl.ds(slot * a, a), :],
             sems.at[slot],
         )
 
@@ -100,13 +100,16 @@ def _fused_kernel(
 
         start_dma(slot, idx).wait()
 
+        base = slot * a
+
         def katom(k, occ):
             # Branchless margin update: 5 [P,A] vector ops per j-atom.
-            xk = jbuf[slot, 0, k]
-            yk = jbuf[slot, 1, k]
-            zk = jbuf[slot, 2, k]
-            rk = jbuf[slot, 3, k]
-            gk = jbuf[slot, 4, k]
+            # Scalars come from a VMEM tile via dynamic-SUBLANE reads.
+            xk = jbuf[base + k, 0]
+            yk = jbuf[base + k, 1]
+            zk = jbuf[base + k, 2]
+            rk = jbuf[base + k, 3]
+            gk = jbuf[base + k, 4]
             vx = xi - xk
             vy = yi - yk
             vz = zi - zk
@@ -135,13 +138,14 @@ def _fused_kernel(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_sasa(
     planes: jnp.ndarray,  # [N_PLANES, M] f32
-    jlist: jnp.ndarray,  # [JLIST_ROWS, T] i32
+    jlist: jnp.ndarray,  # [T, JLIST_ROWS] i32
     area: jnp.ndarray,  # [1, M] f32
     sphere128: jnp.ndarray,  # [P, 128] f32
     *,
     interpret: bool = False,
 ) -> jnp.ndarray:
     m = planes.shape[1]
+    planes_t = planes.T  # [M, N_PLANES] atom-major copy for j-tile DMAs
     t = m // ATOM_TILE
     p = sphere128.shape[0]
     t_pad = ((t + 7) // 8) * 8
@@ -166,14 +170,14 @@ def fused_sasa(
         out_specs=pl.BlockSpec((1, ATOM_TILE), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
         scratch_shapes=[
-            # SMEM: j-tile atom planes are consumed as scalars (dynamic
-            # per-atom indexing is an SMEM operation on TPU).
-            pltpu.SMEM((2, N_PLANES, ATOM_TILE), jnp.float32),
+            # VMEM j-tile buffers: scalars are read with dynamic-sublane
+            # indices (legal in Mosaic; SMEM DMAs measured far slower).
+            pltpu.VMEM((2 * ATOM_TILE, N_PLANES), jnp.float32),
             pltpu.VMEM((p, ATOM_TILE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(sphere128, planes, jlist, area, planes)
+    )(sphere128, planes, jlist, area, planes_t)
     return out.reshape(m)
 
 
