@@ -54,9 +54,9 @@ def _fused_kernel(
     planes_i_ref,  # [N_PLANES, A] f32: this i-tile's atom planes
     jlist_ref,  # [8, JLIST_ROWS] i32 SMEM window: row i%8 = count + ids
     area_ref,  # [1, A] f32
-    planes_t_hbm_ref,  # [M, N_PLANES] f32 in ANY/HBM: atom-major planes
+    planes_t_hbm_ref,  # [M, 128] f32 in ANY/HBM: atom-major planes (lane-padded)
     out_ref,  # [1, A] f32
-    jbuf,  # VMEM scratch [2*A, N_PLANES]: double-buffered j-tiles
+    jbuf,  # VMEM scratch [2*A, 128]: double-buffered j-tiles
     occ_ref,  # VMEM scratch [P, A]: occlusion-margin accumulator
     sems,  # DMA semaphores [2]
 ):
@@ -145,7 +145,10 @@ def fused_sasa(
     interpret: bool = False,
 ) -> jnp.ndarray:
     m = planes.shape[1]
-    planes_t = planes.T  # [M, N_PLANES] atom-major copy for j-tile DMAs
+    # Atom-major copy for j-tile DMAs, lane-padded to 128 (HBM slice
+    # shapes must be 128-aligned in the minor dimension).
+    planes_t = jnp.zeros((m, 128), dtype=jnp.float32)
+    planes_t = planes_t.at[:, 0:N_PLANES].set(planes.T)
     t = m // ATOM_TILE
     p = sphere128.shape[0]
     t_pad = ((t + 7) // 8) * 8
@@ -172,7 +175,7 @@ def fused_sasa(
         scratch_shapes=[
             # VMEM j-tile buffers: scalars are read with dynamic-sublane
             # indices (legal in Mosaic; SMEM DMAs measured far slower).
-            pltpu.VMEM((2 * ATOM_TILE, N_PLANES), jnp.float32),
+            pltpu.VMEM((2 * ATOM_TILE, 128), jnp.float32),
             pltpu.VMEM((p, ATOM_TILE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
