@@ -57,6 +57,7 @@ def _fused_kernel(
     planes_t_hbm_ref,  # [M, 128] f32 in ANY/HBM: atom-major planes (lane-padded)
     out_ref,  # [1, A] f32
     jbuf,  # VMEM scratch [2*A, 128]: double-buffered j-tiles
+    sphere_b,  # VMEM scratch [3, P, A]: pre-broadcast sphere planes
     occ_ref,  # VMEM scratch [P, A]: occlusion-margin accumulator
     sems,  # DMA semaphores [2]
 ):
@@ -70,11 +71,13 @@ def _fused_kernel(
     r2i = reffi * reffi
     inv2ri = 0.5 / jnp.maximum(reffi, 1e-6)
 
+    # Stage the lane-broadcast sphere planes in VMEM ONCE; the inner loop
+    # stream-loads them per use.  Keeping them as live register values
+    # (4 x 16 vregs) blows the register file and spills every inner op.
     ones_a = jnp.ones((1, a), dtype=jnp.float32)
-    sxb = sphere_ref[:, 0:1] * ones_a  # [P, A]
-    syb = sphere_ref[:, 1:2] * ones_a
-    szb = sphere_ref[:, 2:3] * ones_a
-    pv = sphere_ref[:, 3:4] * ones_a
+    sphere_b[0] = sphere_ref[:, 0:1] * ones_a
+    sphere_b[1] = sphere_ref[:, 1:2] * ones_a
+    sphere_b[2] = sphere_ref[:, 2:3] * ones_a
 
     jrow = jax.lax.rem(pl.program_id(0), 8)
     cnt = jlist_ref[jrow, 0]
@@ -116,7 +119,9 @@ def _fused_kernel(
             v2 = vx * vx + vy * vy + vz * vz
             lim = (rk * rk - v2 - r2i) * inv2ri
             lim = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, lim)
-            dots = sxb * vx + (syb * vy + szb * vz)
+            dots = (
+                sphere_b[0] * vx + (sphere_b[1] * vy + sphere_b[2] * vz)
+            )
             return jnp.maximum(occ, lim - dots)
 
         return jax.lax.fori_loop(0, a, katom, occ)
@@ -127,6 +132,7 @@ def _fused_kernel(
 
     # Occluded iff the accumulated margin is strictly positive
     # (matches the reference's `dot < limit` strict comparison, lib.rs:146).
+    pv = sphere_ref[:, 3:4] * jnp.ones((1, a), dtype=jnp.float32)
     accessible = jnp.sum(
         jnp.where((occ_ref[...] <= 0.0) & (pv > 0.0), 1.0, 0.0),
         axis=0,
@@ -176,6 +182,7 @@ def fused_sasa(
             # VMEM j-tile buffers: scalars are read with dynamic-sublane
             # indices (legal in Mosaic; SMEM DMAs measured far slower).
             pltpu.VMEM((2 * ATOM_TILE, 128), jnp.float32),
+            pltpu.VMEM((3, p, ATOM_TILE), jnp.float32),
             pltpu.VMEM((p, ATOM_TILE), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
