@@ -1,0 +1,76 @@
+"""Native C++ parser tests: parity with the Python parsers, gzip, codes."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from rustsasa_tpu.io.read import read_structure
+from rustsasa_tpu.native import load_library
+
+
+pytestmark = pytest.mark.skipif(
+    load_library() is None, reason="native parser unavailable (no toolchain)"
+)
+
+
+def assert_tables_equal(a, b):
+    assert len(a) == len(b)
+    np.testing.assert_allclose(a.coords, b.coords, atol=1e-4)
+    for field in ("name", "resname", "chain_id", "alt_loc", "icode",
+                  "element", "serial", "res_serial", "hetero"):
+        va, vb = getattr(a, field), getattr(b, field)
+        assert (va == vb).all(), field
+    np.testing.assert_allclose(a.occupancy, b.occupancy, atol=1e-4)
+    np.testing.assert_allclose(a.bfactor, b.bfactor, atol=1e-4)
+
+
+def test_native_pdb_parity(reference_data_dir):
+    path = str(reference_data_dir / "pdbs" / "bad_seqadv_1A06.pdb")
+    native = read_structure(path, native=True)
+    python = read_structure(path, native=False)
+    assert_tables_equal(native.atoms, python.atoms)
+
+
+def test_native_cif_parity(example_cif):
+    native = read_structure(str(example_cif), native=True)
+    python = read_structure(str(example_cif), native=False)
+    assert_tables_equal(native.atoms, python.atoms)
+
+
+def test_native_gzip(tmp_path, reference_data_dir):
+    src = reference_data_dir / "pdbs" / "151L_H3.pdb"
+    gz_path = tmp_path / "s.pdb.gz"
+    with open(src, "rb") as f:
+        gz_path.write_bytes(gzip.compress(f.read()))
+    native = read_structure(str(gz_path), native=True)
+    plain = read_structure(str(src), native=False)
+    assert_tables_equal(native.atoms, plain.atoms)
+
+
+def test_native_interned_codes(example_cif):
+    s = read_structure(str(example_cif), native=True)
+    t = s.atoms
+    assert t.chain_code is not None
+    # Codes must be dense first-appearance and consistent with strings.
+    for strings, codes in [
+        (t.chain_id, t.chain_code),
+        (t.resname, t.resname_code),
+        (t.name, t.name_code),
+    ]:
+        assert codes.min() == 0
+        # same code <=> same string
+        order = np.argsort(codes, kind="stable")
+        cs, ss = codes[order], strings[order]
+        change = np.r_[True, cs[1:] != cs[:-1]]
+        # within a code run, all strings equal the first
+        firsts = np.repeat(ss[change], np.diff(np.r_[np.nonzero(change)[0], len(cs)]))
+        assert (ss == firsts).all()
+
+
+def test_native_error_on_missing_file():
+    from rustsasa_tpu.io.read import StructureReadError
+
+    with pytest.raises(StructureReadError):
+        read_structure("/nonexistent/file.pdb", native=True)
