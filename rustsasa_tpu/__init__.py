@@ -15,6 +15,11 @@ from .constants import (
     POLAR_AMINO_ACIDS,
 )
 from .io.read import StructureReadError, parse_structure, read_structure
+from .io.serialize import (
+    sasa_result_to_bfactors,
+    sasa_result_to_json,
+    sasa_result_to_xml,
+)
 from .io.structure import Structure
 from .levels import (
     ChainResult,
@@ -49,6 +54,9 @@ __all__ = [
     "read_structure",
     "parse_structure",
     "serialize_chain_id",
+    "sasa_result_to_json",
+    "sasa_result_to_xml",
+    "sasa_result_to_bfactors",
     "BatchedSasaEngine",
     "SasaParams",
     "calculate_sasa_internal",
