@@ -104,27 +104,37 @@ def _fused_kernel(
         start_dma(slot, idx).wait()
 
         base = slot * a
+        group = 8
 
-        def katom(k, occ):
-            # Branchless margin update: 5 [P,A] vector ops per j-atom.
-            # Scalars come from a VMEM tile via dynamic-SUBLANE reads.
-            xk = jbuf[base + k, 0]
-            yk = jbuf[base + k, 1]
-            zk = jbuf[base + k, 2]
-            rk = jbuf[base + k, 3]
-            gk = jbuf[base + k, 4]
-            vx = xi - xk
-            vy = yi - yk
-            vz = zi - zk
-            v2 = vx * vx + vy * vy + vz * vz
-            lim = (rk * rk - v2 - r2i) * inv2ri
-            lim = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, lim)
-            dots = (
-                sphere_b[0] * vx + (sphere_b[1] * vy + sphere_b[2] * vz)
-            )
-            return jnp.maximum(occ, lim - dots)
+        def kgroup(g, occ):
+            # 8 j-atoms per iteration: ONE sublane-sliced load replaces 40
+            # dynamic scalar reads (measured ~23 cycles each), and the
+            # [1,A] prep chain + loop overhead amortize 8x.  The per-atom
+            # [P,A] margin updates then unroll over static row slices.
+            rows = jbuf[pl.ds(base + g * group, group), :]  # [8, 128]
+            xk = rows[:, 0:1]
+            yk = rows[:, 1:2]
+            zk = rows[:, 2:3]
+            rk = rows[:, 3:4]
+            gk = rows[:, 4:5]
+            vxg = xi - xk  # [8, A] outer broadcasts
+            vyg = yi - yk
+            vzg = zi - zk
+            v2g = vxg * vxg + vyg * vyg + vzg * vzg
+            limg = (rk * rk - v2g - r2i) * inv2ri
+            limg = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, limg)
+            for r in range(group):
+                dots = (
+                    sphere_b[0] * vxg[r:r + 1, :]
+                    + (
+                        sphere_b[1] * vyg[r:r + 1, :]
+                        + sphere_b[2] * vzg[r:r + 1, :]
+                    )
+                )
+                occ = jnp.maximum(occ, limg[r:r + 1, :] - dots)
+            return occ
 
-        return jax.lax.fori_loop(0, a, katom, occ)
+        return jax.lax.fori_loop(0, a // group, kgroup, occ)
 
     occ0 = jnp.full((sphere_ref.shape[0], a), _NEG_BIG)
     occ = jax.lax.fori_loop(0, cnt, process, occ0)
