@@ -86,13 +86,19 @@ class SasaParams:
     n_points: int = DEFAULT_N_POINTS
 
 
+import os as _os
+
+
 def resolve_backend(backend: str, n_pad: int, p_pad: int) -> str:
     """Pick the engine backend.
 
     'fused' (the tiled no-neighbor-list Pallas kernel) on TPU-like devices
     when the point count fits its [P,128] working layout; the XLA list
-    path elsewhere (CPU tests, exotic point counts).
+    path elsewhere (CPU tests, exotic point counts).  The environment
+    variable RUSTSASA_TPU_BACKEND overrides 'auto'.
     """
+    if backend == "auto":
+        backend = _os.environ.get("RUSTSASA_TPU_BACKEND", "auto")
     if backend != "auto":
         return backend
     try:

@@ -108,8 +108,9 @@ def run_variant(variant):
     )
 
 
-for v in ["full", "noscalar", "nogid", "nobig"]:
-    run_variant(v)
+if __name__ == "__main__" and False:
+    for v in ["full", "noscalar", "nogid", "nobig"]:
+        run_variant(v)
 
 
 def make_grouped_kernel(group, smem):
@@ -205,7 +206,90 @@ def run_grouped(name, group, smem):
     )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and False:
     run_grouped("group8", 8, False)
-    run_grouped("group16", 16, False)
-    run_grouped("smem_scalar", 8, True)
+
+
+def make_v2_kernel(fma, skip):
+    def kernel(sphere_ref, planes_i_ref, out_ref, sphere_b, jdata):
+        a = A
+        xi = planes_i_ref[0:1, :]
+        yi = planes_i_ref[1:2, :]
+        zi = planes_i_ref[2:3, :]
+        reffi = planes_i_ref[3:4, :]
+        gidi = planes_i_ref[4:5, :]
+        r2i = reffi * reffi
+        inv2ri = 0.5 / jnp.maximum(reffi, 1e-6)
+        ones_a = jnp.ones((1, a), dtype=jnp.float32)
+        sphere_b[0] = sphere_ref[:, 0:1] * ones_a
+        sphere_b[1] = sphere_ref[:, 1:2] * ones_a
+        sphere_b[2] = sphere_ref[:, 2:3] * ones_a
+        jdata[...] = jnp.ones_like(jdata)
+        group = 8
+
+        def kgroup(g, occ):
+            rows = jdata[pl.ds(g * group, group), :]
+            xk = rows[:, 0:1]; yk = rows[:, 1:2]; zk = rows[:, 2:3]
+            rk = rows[:, 3:4]; gk = rows[:, 4:5]
+            vxg = xi - xk; vyg = yi - yk; vzg = zi - zk
+            v2g = vxg*vxg + vyg*vyg + vzg*vzg
+            limg = (rk*rk - v2g - r2i) * inv2ri
+            limg = jnp.where((gidi == gk) | (gk == 0.0), -1e30, limg)
+
+            def do(occ):
+                for r in range(group):
+                    if fma:
+                        m = limg[r:r+1, :] - sphere_b[0]*vxg[r:r+1, :]
+                        m = m - sphere_b[1]*vyg[r:r+1, :]
+                        m = m - sphere_b[2]*vzg[r:r+1, :]
+                        occ = jnp.maximum(occ, m)
+                    else:
+                        dots = (sphere_b[0]*vxg[r:r+1,:]
+                                + (sphere_b[1]*vyg[r:r+1,:]
+                                   + sphere_b[2]*vzg[r:r+1,:]))
+                        occ = jnp.maximum(occ, limg[r:r+1,:] - dots)
+                return occ
+
+            if not skip:
+                return do(occ)
+            reach = reffi + rk  # [8, A]
+            hit = jnp.min(v2g - reach*reach) < 0.0
+            return jax.lax.cond(hit, do, lambda o: o, occ)
+
+        occ = jax.lax.fori_loop(0, NJ // group, kgroup,
+                                jnp.full((P, a), -1e30))
+        out_ref[...] = jnp.sum(occ, axis=0, keepdims=True)
+    return kernel
+
+
+def run_v2(name, fma, skip):
+    m = T * A
+    sphere = np.random.default_rng(0).normal(size=(P, 128)).astype(np.float32)
+    planes = np.random.default_rng(1).normal(size=(8, m)).astype(np.float32)
+    fn = pl.pallas_call(
+        make_v2_kernel(fma, skip),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((P, 128), lambda i: (0, 0)),
+            pl.BlockSpec((8, A), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, A), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, P, A), jnp.float32),
+            pltpu.VMEM((NJ, 8), jnp.float32),
+        ],
+    )
+    jfn = jax.jit(lambda s, p: fn(s, p))
+    t0 = time.time(); out = np.asarray(jfn(sphere, planes)); c = time.time()-t0
+    times = []
+    for _ in range(3):
+        t0 = time.time(); out = np.asarray(jfn(sphere, planes)); times.append(time.time()-t0)
+    per = min(times) / (T * NJ)
+    print(f"{name:14s} compile {c:6.1f}s warm {min(times)*1000:7.1f}ms -> {per*1e9:6.0f} ns/j-atom ({per*940e6:.0f} cyc)", flush=True)
+
+
+if __name__ == "__main__":
+    run_v2("g8", False, False)
+    run_v2("g8_fma", True, False)
+    run_v2("g8_fma_skip", True, True)
