@@ -331,7 +331,7 @@ def _initial_k(n: int) -> int:
 
 
 def _sphere_packed(n_points: int) -> np.ndarray:
-    p_pad = _round_up(n_points, 128)
+    p_pad = _round_up(n_points, 8)
     sphere, point_valid = padded_sphere_points(n_points, p_pad)
     packed = np.empty((p_pad, 4), dtype=np.float32)
     packed[:, 0:3] = sphere
@@ -377,7 +377,7 @@ def calculate_sasa_internal(
     gid = _dense_gids(group_ids, n)
 
     n_pad = _round_bucket(n, _N_BUCKETS)
-    p_pad = _round_up(n_points, 128)
+    p_pad = _round_up(n_points, 8)
     sphere_packed = _sphere_packed(n_points)
     backend = resolve_backend(backend, n_pad, p_pad)
 
