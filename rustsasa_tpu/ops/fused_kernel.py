@@ -123,16 +123,25 @@ def _fused_kernel(
             v2g = vxg * vxg + vyg * vyg + vzg * vzg
             limg = (rk * rk - v2g - r2i) * inv2ri
             limg = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, limg)
-            for r in range(group):
-                dots = (
-                    sphere_b[0] * vxg[r:r + 1, :]
-                    + (
-                        sphere_b[1] * vyg[r:r + 1, :]
-                        + sphere_b[2] * vzg[r:r + 1, :]
+
+            def do(occ):
+                for r in range(group):
+                    dots = (
+                        sphere_b[0] * vxg[r:r + 1, :]
+                        + (
+                            sphere_b[1] * vyg[r:r + 1, :]
+                            + sphere_b[2] * vzg[r:r + 1, :]
+                        )
                     )
-                )
-                occ = jnp.maximum(occ, limg[r:r + 1, :] - dots)
-            return occ
+                    occ = jnp.maximum(occ, limg[r:r + 1, :] - dots)
+                return occ
+
+            # Group-level early-out: when no atom of this 8-group can reach
+            # any i-atom, skip the unrolled [P,A] block (check ~8 cycles vs
+            # ~100 saved; Morton-coherent groups skip often).
+            reach = reffi + rk  # [8, A]
+            hit = jnp.min(v2g - reach * reach) < 0.0
+            return jax.lax.cond(hit, do, lambda o: o, occ)
 
         return jax.lax.fori_loop(0, a // group, kgroup, occ)
 
