@@ -168,11 +168,19 @@ def process_directory(
 
     # Waves bound peak memory on huge corpora and keep the device fed with
     # large bucketed batches (the TPU analog of the reference's
-    # rayon-over-files loop, main.rs:375).
+    # rayon-over-files loop, main.rs:375).  The three stages pipeline:
+    # wave i+1 parses on host threads while wave i computes on the device,
+    # and emits drain asynchronously behind both.
+    waves = [
+        files[lo:lo + wave_size] for lo in range(0, len(files), wave_size)
+    ]
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        for lo in range(0, len(files), wave_size):
-            wave = files[lo:lo + wave_size]
-            loaded = list(pool.map(load, wave))
+        next_load = [pool.submit(load, p) for p in waves[0]] if waves else []
+        emit_futures = []
+        for w in range(len(waves)):
+            loaded = [f.result() for f in next_load]
+            if w + 1 < len(waves):
+                next_load = [pool.submit(load, p) for p in waves[w + 1]]
             good = [(p, s, sel) for (p, s, sel, err) in loaded if err is None]
             for _, _, _, err in loaded:
                 if err is not None:
@@ -182,12 +190,16 @@ def process_directory(
                 (sel.coords, sel.radii, sel.group_ids) for (_, _, sel) in good
             ]
             atom_sasas = engine.compute(triples)
-            for err in pool.map(emit, zip(good, atom_sasas)):
-                if err is None:
-                    report.n_ok += 1
-                else:
-                    report.errors.append(err)
-                bar.tick()
+            emit_futures.extend(
+                pool.submit(emit, args) for args in zip(good, atom_sasas)
+            )
+        for f in emit_futures:
+            err = f.result()
+            if err is None:
+                report.n_ok += 1
+            else:
+                report.errors.append(err)
+            bar.tick()
 
     report.elapsed_s = time.time() - t0
     return report

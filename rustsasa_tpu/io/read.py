@@ -48,7 +48,12 @@ def read_structure(path: str, *, native: bool | None = None) -> Structure:
             raise StructureReadError(str(e)) from e
         if parsed is not None:
             table, fmt = parsed
-            return Structure(atoms=table, source_path=path, format=fmt)
+            st = Structure(atoms=table, source_path=path, format=fmt)
+            if st.n_atoms() == 0:
+                raise StructureReadError(
+                    f"Failed to parse {path}: no atom records found"
+                )
+            return st
     try:
         if path.endswith(".gz"):
             with gzip.open(path, "rb") as f:
@@ -67,9 +72,19 @@ def parse_structure(content: bytes | str, path: str = "") -> Structure:
     fmt = _sniff_format(path, content)
     try:
         if fmt == "cif":
-            return parse_cif(content, source_path=path)
-        return parse_pdb(content, source_path=path)
+            st = parse_cif(content, source_path=path)
+        else:
+            st = parse_pdb(content, source_path=path)
     except StructureReadError:
         raise
     except Exception as e:  # noqa: BLE001 - wrap into a typed error
         raise StructureReadError(f"Failed to parse {path or '<memory>'}: {e}") from e
+    if st.n_atoms() == 0:
+        # A file with zero coordinate records is not a structure; report a
+        # per-file error like the reference (pdbtbx fails such files and the
+        # CLI collects the error, main.rs:447-453) instead of emitting an
+        # empty result.
+        raise StructureReadError(
+            f"Failed to parse {path or '<memory>'}: no atom records found"
+        )
+    return st

@@ -160,16 +160,36 @@ def _fused_kernel(
     out_ref[...] = accessible * area_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+# Rows of the host->device transfer format: x, y, z, r_eff, gid(+1).
+# The kernel works on N_PLANES(=8)-row blocks; the 3 spare rows are
+# zero-padded ON DEVICE so they never ride the host link.
+N_XFER_PLANES = 5
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_points", "out_dtype", "interpret")
+)
 def fused_sasa(
-    planes: jnp.ndarray,  # [N_PLANES, M] f32
-    jlist: jnp.ndarray,  # [T, JLIST_ROWS] i32
-    area: jnp.ndarray,  # [1, M] f32
+    planes5: jnp.ndarray,  # [N_XFER_PLANES, M] f32
+    jlist: jnp.ndarray,  # [T, JLIST_ROWS] u16/i32 tile ids
     sphere128: jnp.ndarray,  # [P, 128] f32
     *,
+    n_points: int,
+    out_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    m = planes.shape[1]
+    m = planes5.shape[1]
+    # Everything derivable from the 5 transfer planes is computed on
+    # device: the high-latency host link moves 20B/atom-slot, not 44.
+    planes = jnp.zeros((N_PLANES, m), dtype=jnp.float32)
+    planes = planes.at[0:N_XFER_PLANES].set(planes5)
+    r_eff = planes5[3]
+    area = jnp.where(
+        planes5[4] > 0.0,
+        np.float32(4.0 * np.pi / n_points) * r_eff * r_eff,
+        0.0,
+    )[None, :]
+    jlist = jlist.astype(jnp.int32)
     # Atom-major copy for j-tile DMAs, lane-padded to 128 (HBM slice
     # shapes must be 128-aligned in the minor dimension).
     planes_t = jnp.zeros((m, 128), dtype=jnp.float32)
@@ -207,7 +227,9 @@ def fused_sasa(
         ],
         interpret=interpret,
     )(sphere128, planes, jlist, area, planes_t)
-    return out.reshape(m)
+    # Cast on device: the readback direction of the host link is the
+    # narrowest resource; f16 halves it (batch path; API path keeps f32).
+    return out.reshape(m).astype(out_dtype)
 
 
 def _morton_codes(coords: np.ndarray) -> np.ndarray:
@@ -234,24 +256,26 @@ def pack_structures(
     """Host-side packing for the fused kernel.
 
     structures: list of (coords [n,3] f32, radii [n] f32, gids [n] i32).
-    Returns (planes [8, M], jlist [T, 128], area [1, M], offsets, failed)
-    where offsets[i] = (start, n, perm_inverse) for unpacking results and
+    Returns (planes [5, M], jlist [T, 128] u16, offsets, failed) where
+    offsets[i] = (start, n, perm_inverse) for unpacking results and
     `failed` lists input indices whose tiling overflowed JLIST_CAP
     (callers route those through the list-based path); their offsets are
     None and their slots are zeroed.
     """
     tiles_per = [-(-s[0].shape[0] // ATOM_TILE) for s in structures]
     total_tiles = sum(tiles_per)
+    if total_tiles > 65535:
+        raise ValueError(
+            f"chunk too large for u16 tile ids: {total_tiles} tiles"
+        )
     m = total_tiles * ATOM_TILE
-    planes = np.zeros((N_PLANES, m), dtype=np.float32)
-    area = np.zeros((1, m), dtype=np.float32)
-    jlist = np.zeros((total_tiles, JLIST_ROWS), dtype=np.int32)
+    planes = np.zeros((N_XFER_PLANES, m), dtype=np.float32)
+    jlist = np.zeros((total_tiles, JLIST_ROWS), dtype=np.uint16)
 
     offsets = []
     failed: list[int] = []
     tile0 = 0
     pos = 0
-    four_pi_over_n = 4.0 * np.pi / n_points
     for s_i, (coords, radii, gids) in enumerate(structures):
         n = coords.shape[0]
         nt = tiles_per[s_i]
@@ -265,7 +289,6 @@ def pack_structures(
         planes[0:3, pos:pos + n] = c.T
         planes[3, pos:pos + n] = r_eff
         planes[4, pos:pos + n] = g
-        area[0, pos:pos + n] = four_pi_over_n * r_eff * r_eff
 
         # Vectorized per-tile AABB + max reach; padding slots are neutral.
         slots = nt * ATOM_TILE
@@ -296,7 +319,6 @@ def pack_structures(
             # Pathological tiling (e.g. Morton folds spanning the box):
             # zero this structure's slots and let the caller reroute it.
             planes[:, pos:pos + n] = 0.0
-            area[0, pos:pos + n] = 0.0
             failed.append(s_i)
             offsets.append(None)
             tile0 += nt
@@ -314,4 +336,4 @@ def pack_structures(
         tile0 += nt
         pos += nt * ATOM_TILE
 
-    return planes, jlist, area, offsets, failed
+    return planes, jlist, offsets, failed

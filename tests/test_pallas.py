@@ -4,6 +4,7 @@ The Pallas tile kernel must agree with the XLA scan path exactly (both are
 f32 with the same comparison semantics).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -66,10 +67,19 @@ def test_fused_matches_xla_batched():
         structures.append((coords, radii, None))
     xla = BatchedSasaEngine(SasaParams(), backend="xla").compute(structures)
     fused = BatchedSasaEngine(
-        SasaParams(), backend="fused_interpret"
+        SasaParams(), backend="fused_interpret", readback_dtype=jnp.float32
     ).compute(structures)
     for a, b in zip(xla, fused):
         np.testing.assert_allclose(a, b, atol=1e-3)
+    # Default engine readback is f16 (the host link's readback direction is
+    # its narrowest resource); rounding must stay inside f16 granularity,
+    # far below every parity tolerance (golden eps=25 A^2/atom).
+    f16 = BatchedSasaEngine(
+        SasaParams(), backend="fused_interpret"
+    ).compute(structures)
+    for a, b in zip(xla, f16):
+        assert b.dtype == np.float32
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=0.05)
 
 
 def test_fused_group_ids_and_spread_structures():
