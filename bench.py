@@ -61,10 +61,20 @@ def build_corpus() -> tuple[str, int, int]:
     sizes = {}
     for f in files:
         sizes[f] = read_structure(f).n_atoms()
-    # Prefer small structures (AlphaFold's E. coli entries average ~2.4k
-    # atoms); take files under 6k atoms, cycling until both targets met.
-    small = [f for f in files if sizes[f] <= 6000] or files
-    small.sort(key=lambda f: sizes[f])
+    # Match the reference proteome on BOTH axes: 4,400 files and ~10.7M
+    # atoms (avg ~2,432 atoms/file - AlphaFold's E. coli size profile).
+    # Cycle the largest ascending-size prefix whose mean stays at or under
+    # that average, so the replicated corpus hits the atom target too.
+    target_mean = TARGET_ATOMS / TARGET_FILES
+    ordered = sorted(files, key=lambda f: sizes[f])
+    prefix = []
+    total = 0
+    for f in ordered:
+        if prefix and (total + sizes[f]) / (len(prefix) + 1) > target_mean:
+            break
+        prefix.append(f)
+        total += sizes[f]
+    small = prefix or ordered[:1]
 
     if os.path.isdir(CORPUS_DIR):
         shutil.rmtree(CORPUS_DIR)
