@@ -151,3 +151,197 @@ def parse_file_native(path: str):
         return table, ("cif" if r.is_cif else "pdb")
     finally:
         lib.fastparse_free(res)
+
+
+# ---------------------------------------------------------------------------
+# fastpipe: native parse+select+emit pipeline (see fastparse.cpp, fastpipe
+# section).  Python-side wrappers translate C error sentinels back into the
+# package's exception types so callers see identical semantics to the
+# numpy path (levels.build_selection / io.serialize).
+# ---------------------------------------------------------------------------
+
+
+class _SelResult(ctypes.Structure):
+    _fields_ = [
+        ("m", ctypes.c_int64),
+        ("coords", ctypes.POINTER(ctypes.c_float)),
+        ("radii", ctypes.POINTER(ctypes.c_float)),
+        ("gids", ctypes.POINTER(ctypes.c_int32)),
+        ("residue_slot", ctypes.POINTER(ctypes.c_int32)),
+        ("n_res", ctypes.c_int64),
+        ("res_serial", ctypes.POINTER(ctypes.c_int64)),
+        ("res_icode_code", ctypes.POINTER(ctypes.c_int32)),
+        ("res_name_code", ctypes.POINTER(ctypes.c_int32)),
+        ("res_chain_idx", ctypes.POINTER(ctypes.c_int32)),
+        ("n_chain", ctypes.c_int32),
+        ("error", ctypes.c_char * 320),
+        ("owner", ctypes.c_void_p),
+    ]
+
+
+_pipe_ready = False
+_pipe_lock = threading.Lock()
+
+
+def _setup_pipe(lib) -> None:
+    lib.fastpipe_set_radii.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.fastpipe_set_radii.restype = None
+    lib.fastpipe_select.argtypes = [
+        ctypes.POINTER(_FPResult), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.fastpipe_select.restype = ctypes.POINTER(_SelResult)
+    lib.fastpipe_sel_free.argtypes = [ctypes.POINTER(_SelResult)]
+    lib.fastpipe_sel_free.restype = None
+    lib.fastpipe_emit.argtypes = [
+        ctypes.POINTER(_FPResult), ctypes.POINTER(_SelResult),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p,
+    ]
+    lib.fastpipe_emit.restype = ctypes.c_int
+
+    from ..radii import PROTOR_RADII, VDW_RADII
+
+    pair_lines = []
+    for res, inner in PROTOR_RADII.items():
+        for atom, rad in inner.items():
+            pair_lines.append(f"{res}\t{atom}\t{rad!r}")
+    vdw_lines = [f"{el}\t{rad!r}" for el, rad in VDW_RADII.items()]
+    lib.fastpipe_set_radii(
+        ("\n".join(pair_lines) + "\n").encode(),
+        ("\n".join(vdw_lines) + "\n").encode(),
+    )
+
+
+def pipe_library():
+    """The native library with the fastpipe entry points set up, or None."""
+    global _pipe_ready
+    lib = load_library()
+    if lib is None:
+        return None
+    if not _pipe_ready:
+        with _pipe_lock:
+            if not _pipe_ready:
+                if not hasattr(lib, "fastpipe_select"):
+                    return None
+                _setup_pipe(lib)
+                _pipe_ready = True
+    return lib
+
+
+_LEVEL_CODE = {"atom": 0, "residue": 1, "chain": 2, "protein": 3}
+_FMT_CODE = {"json": 0, "xml": 1}
+
+
+class NativeFallback(Exception):
+    """Native path declined this input; use the Python path."""
+
+
+class NativeSelection:
+    """A parsed + selected structure living in native memory.
+
+    Exposes zero-copy numpy views (coords/radii/gids) for the device
+    engine; `emit` aggregates and writes the result file natively.
+    """
+
+    __slots__ = ("_lib", "_fp", "_sel", "coords", "radii", "gids", "path")
+
+    def __init__(self, lib, fp, sel, path):
+        self._lib = lib
+        self._fp = fp
+        self._sel = sel
+        self.path = path
+        m = int(sel.contents.m)
+        if m:
+            self.coords = np.ctypeslib.as_array(
+                sel.contents.coords, shape=(m, 3))
+            self.radii = np.ctypeslib.as_array(sel.contents.radii, shape=(m,))
+            self.gids = np.ctypeslib.as_array(sel.contents.gids, shape=(m,))
+        else:
+            self.coords = np.zeros((0, 3), np.float32)
+            self.radii = np.zeros(0, np.float32)
+            self.gids = np.zeros(0, np.int32)
+
+    def emit(self, atom_sasa: np.ndarray, level: str, fmt: str,
+             out_path: str) -> None:
+        sasa = np.ascontiguousarray(atom_sasa, dtype=np.float32)
+        err = ctypes.create_string_buffer(256)
+        rc = self._lib.fastpipe_emit(
+            self._fp, self._sel,
+            sasa.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            _LEVEL_CODE[level], _FMT_CODE[fmt], out_path.encode(), err)
+        if rc != 0:
+            raise OSError(err.value.decode(errors="replace"))
+
+    def close(self) -> None:
+        if self._sel is not None:
+            self._lib.fastpipe_sel_free(self._sel)
+            self._sel = None
+        if self._fp is not None:
+            self._lib.fastparse_free(self._fp)
+            self._fp = None
+
+    def __del__(self):  # pragma: no cover - GC safety net
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def _raise_select_error(tag: bytes, path: str):
+    from ..io.read import StructureReadError
+    from ..levels import ElementMissingError
+    from ..radii import RadiusMissingError, VanDerWaalsMissingError
+
+    parts = tag.decode(errors="replace").split("\t")
+    kind = parts[0]
+    if kind == "E_FALLBACK":
+        raise NativeFallback()
+    if kind == "E_ELEMENT":
+        raise ElementMissingError(
+            f"Element missing for atom {parts[1]} (serial {parts[2]})")
+    if kind == "E_RADIUS":
+        raise RadiusMissingError(parts[1], parts[2], parts[3])
+    if kind == "E_VDW":
+        raise VanDerWaalsMissingError(parts[1])
+    raise StructureReadError(f"Failed to read from input file: {kind}")
+
+
+def native_process_file(
+    path: str, *, level: str, include_hydrogens: bool,
+    include_hetatms: bool, read_radii_from_occupancy: bool,
+    allow_vdw_fallback: bool,
+) -> NativeSelection:
+    """Parse + select a structure file entirely in native code.
+
+    Raises NativeFallback when the native path can't handle the input
+    (caller falls back to the Python pipeline) and the package's standard
+    typed errors for real failures.
+    """
+    from ..io.read import StructureReadError
+
+    lib = pipe_library()
+    if lib is None:
+        raise NativeFallback()
+    fp = lib.fastparse_file(path.encode())
+    try:
+        if fp.contents.error and fp.contents.error != b"":
+            msg = fp.contents.error.decode(errors="replace")
+            raise StructureReadError(f"Failed to read from input file: {msg}")
+        if int(fp.contents.n) == 0:
+            raise StructureReadError(
+                f"Failed to parse {path}: no atom records found")
+        sel = lib.fastpipe_select(
+            fp, _LEVEL_CODE[level], int(include_hydrogens),
+            int(include_hetatms), int(read_radii_from_occupancy),
+            int(allow_vdw_fallback))
+        try:
+            if sel.contents.error and sel.contents.error != b"":
+                _raise_select_error(sel.contents.error, path)
+        except BaseException:
+            lib.fastpipe_sel_free(sel)
+            raise
+        return NativeSelection(lib, fp, sel, path)
+    except BaseException:
+        lib.fastparse_free(fp)
+        raise

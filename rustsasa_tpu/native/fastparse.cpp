@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
 #include <string>
 #include <string_view>
 #include <unordered_map>
@@ -492,6 +493,617 @@ void fastparse_free(FPResult* r) {
   if (!r) return;
   delete r->owner;
   delete r;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// fastpipe: native selection + aggregation + serialization.
+//
+// The TPU-native counterpart of the reference's per-level atom building and
+// result serialization (reference: src/options.rs:139-464, src/utils/io.rs).
+// On a host with few cores the Python/numpy versions of these stages become
+// the pipeline bottleneck; these run under Python threads with the GIL
+// released.  Semantics mirror rustsasa_tpu.levels.build_selection /
+// io.serialize exactly (the Python implementations remain as the fallback
+// and as the executable specification).
+// ===========================================================================
+
+namespace {
+
+struct RadiiGlobal {
+  std::unordered_map<std::string, float> pair;  // "RES\tATOM" -> radius
+  std::unordered_map<std::string, float> vdw;   // "EL" -> radius
+  bool loaded = false;
+};
+RadiiGlobal g_radii;
+
+inline std::string_view tab_entry(const char* tab, int32_t code) {
+  const char* p = tab + static_cast<size_t>(code) * kStrWidth;
+  size_t len = 0;
+  while (len < kStrWidth && p[len] != '\0') ++len;
+  return {p, len};
+}
+
+constexpr const char* kPolar[] = {"SER", "THR", "CYS", "ASN", "GLN", "TYR"};
+
+inline bool is_polar_res(std::string_view name) {
+  for (const char* p : kPolar)
+    if (name == p) return true;
+  return false;
+}
+
+// Letters -> concatenated alphabet positions (reference: utils.rs:24-33).
+inline int64_t serialize_chain_id(std::string_view s) {
+  int64_t r = 0;
+  for (char c : s) {
+    if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+      char u = (c >= 'a') ? c - 32 : c;
+      r = r * 10 + (u - 64);
+    }
+  }
+  return r;
+}
+
+// %.9g with serde-style ".0" suffix for integral values (matches the
+// vectorized Python fast path, io/serialize.py::_json_float_col).
+inline int append_dot0(char* buf, int n) {
+  bool plain = true;
+  for (int i = 0; i < n; ++i) {
+    char c = buf[i];
+    if (!(c >= '0' && c <= '9') && c != '-') { plain = false; break; }
+  }
+  if (plain) { buf[n++] = '.'; buf[n++] = '0'; buf[n] = '\0'; }
+  return n;
+}
+
+inline int fmt_f32(char* buf, float v) {
+  int n = snprintf(buf, 32, "%.9g", static_cast<double>(v));
+  return append_dot0(buf, n);
+}
+
+// Shortest round-trip decimal for an f32 (matches serde_json f32 output /
+// io/serialize.py::_f32_repr): the smallest precision whose parse
+// round-trips, rendered positionally.
+inline int fmt_f32_short(char* buf, float v) {
+  int n = 0;
+  for (int prec = 1; prec <= 9; ++prec) {
+    n = snprintf(buf, 32, "%.*g", prec, static_cast<double>(v));
+    if (strtof(buf, nullptr) == v) break;
+  }
+  if (!memchr(buf, 'e', n) && !memchr(buf, 'E', n)) return n;
+  // Exponent form -> positional expansion (rare: |v| >= 1e9 or < 1e-4).
+  for (int dec = 0; dec <= 45; ++dec) {
+    n = snprintf(buf, 64, "%.*f", dec, static_cast<double>(v));
+    if (strtof(buf, nullptr) == v) break;
+  }
+  // Trim trailing zeros / dot like np.format_float_positional(trim='0').
+  if (memchr(buf, '.', n)) {
+    while (n > 0 && buf[n - 1] == '0') buf[--n] = '\0';
+    if (n > 0 && buf[n - 1] == '.') buf[--n] = '\0';
+  }
+  if (n == 0) { buf[0] = '0'; buf[1] = '\0'; n = 1; }
+  return n;
+}
+
+inline int fmt_f32_short_json(char* buf, float v) {
+  int n = fmt_f32_short(buf, v);
+  return append_dot0(buf, n);
+}
+
+inline void json_escape(std::string& out, std::string_view s) {
+  out.push_back('"');
+  for (char c : s) {
+    switch (c) {
+      case '"': out += "\\\""; break;
+      case '\\': out += "\\\\"; break;
+      default:
+        if (static_cast<unsigned char>(c) < 0x20) {
+          char b[8];
+          snprintf(b, sizeof(b), "\\u%04x", c);
+          out += b;
+        } else {
+          out.push_back(c);
+        }
+    }
+  }
+  out.push_back('"');
+}
+
+inline void xml_escape(std::string& out, std::string_view s) {
+  for (char c : s) {
+    switch (c) {
+      case '&': out += "&amp;"; break;
+      case '<': out += "&lt;"; break;
+      case '>': out += "&gt;"; break;
+      default: out.push_back(c);
+    }
+  }
+}
+
+struct SelOwner {
+  std::vector<float> coords;       // [m*3]
+  std::vector<float> radii;        // [m]
+  std::vector<int32_t> gids;       // [m]
+  std::vector<int32_t> res_slot;   // [m]
+  std::vector<int64_t> res_serial; // [R]
+  std::vector<int32_t> res_icode;  // [R] codes into fp icode_tab
+  std::vector<int32_t> res_name;   // [R] codes into fp resname_tab
+  std::vector<int32_t> res_chain;  // [R] chain codes
+};
+
+}  // namespace
+
+extern "C" {
+
+struct SelResult {
+  int64_t m;
+  float* coords;
+  float* radii;
+  int32_t* gids;
+  int32_t* residue_slot;
+  int64_t n_res;
+  int64_t* res_serial;
+  int32_t* res_icode_code;
+  int32_t* res_name_code;
+  int32_t* res_chain_idx;
+  int32_t n_chain;
+  char error[320];
+  SelOwner* owner;
+};
+
+// Radii blobs: lines of "RES\tATOM\tradius" / "EL\tradius".  Called once
+// from Python before any worker threads start.
+void fastpipe_set_radii(const char* pair_blob, const char* vdw_blob) {
+  g_radii.pair.clear();
+  g_radii.vdw.clear();
+  std::string_view pv(pair_blob);
+  size_t pos = 0;
+  while (pos < pv.size()) {
+    size_t eol = pv.find('\n', pos);
+    if (eol == std::string_view::npos) eol = pv.size();
+    std::string_view line = pv.substr(pos, eol - pos);
+    pos = eol + 1;
+    size_t t2 = line.rfind('\t');
+    if (t2 == std::string_view::npos) continue;
+    g_radii.pair[std::string(line.substr(0, t2))] =
+        strtof(std::string(line.substr(t2 + 1)).c_str(), nullptr);
+  }
+  std::string_view vv(vdw_blob);
+  pos = 0;
+  while (pos < vv.size()) {
+    size_t eol = vv.find('\n', pos);
+    if (eol == std::string_view::npos) eol = vv.size();
+    std::string_view line = vv.substr(pos, eol - pos);
+    pos = eol + 1;
+    size_t t1 = line.find('\t');
+    if (t1 == std::string_view::npos) continue;
+    g_radii.vdw[std::string(line.substr(0, t1))] =
+        strtof(std::string(line.substr(t1 + 1)).c_str(), nullptr);
+  }
+  g_radii.loaded = true;
+}
+
+// Selection: filtering + radius resolution + occlusion-group ids +
+// residue/chain aggregation metadata (reference: options.rs:139-464;
+// executable spec: rustsasa_tpu.levels.build_selection).
+// level: 0=atom 1=residue 2=chain 3=protein.
+SelResult* fastpipe_select(FPResult* r, int level, int include_h,
+                           int include_het, int read_occ, int allow_vdw) {
+  auto* owner = new SelOwner();
+  auto* s = new SelResult();
+  memset(s->error, 0, sizeof(s->error));
+  s->owner = owner;
+  const int64_t n = r->n;
+  s->m = 0;
+  s->n_res = 0;
+  s->n_chain = r->n_chain;
+  if (n == 0) return s;
+
+  // Guard the exact-packing key layouts; bail to the Python fallback on
+  // pathological cardinalities (mirrors levels.py's structured-key branch).
+  bool in_range = r->n_chain < (1 << 16) && r->n_icode < (1 << 12) &&
+                  r->n_alt < (1 << 12) && r->n_resname < (1 << 12) &&
+                  r->n_name < (1 << 16);
+  if (in_range) {
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t rs = r->res_serial[i];
+      if (rs < -(1ll << 32) || rs >= (1ll << 32)) { in_range = false; break; }
+    }
+  }
+  if (!in_range) {
+    snprintf(s->error, sizeof(s->error), "E_FALLBACK");
+    return s;
+  }
+
+  // Blank / hydrogen codes in this file's interned tables.
+  auto find_code = [](const char* tab, int32_t n_tab, std::string_view v) {
+    for (int32_t c = 0; c < n_tab; ++c)
+      if (tab_entry(tab, c) == v) return c;
+    return static_cast<int32_t>(-1);
+  };
+  const int32_t blank_alt = find_code(r->alt_tab, r->n_alt, "");
+  const int32_t blank_elem = find_code(r->element_tab, r->n_element, "");
+  const int32_t h_elem = find_code(r->element_tab, r->n_element, "H");
+
+  // Residue codes (chain, res_serial, icode) in first-appearance order.
+  std::unordered_map<uint64_t, int32_t> res_map;
+  res_map.reserve(static_cast<size_t>(n / 6));
+  std::vector<int32_t> res_code(n);
+  std::vector<int64_t> res_first;
+  uint64_t last_rkey = ~0ull; int32_t last_rcode = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t key = (static_cast<uint64_t>(r->chain_code[i]) << 45) |
+                   (static_cast<uint64_t>(r->res_serial[i] + (1ll << 32)) << 12) |
+                   static_cast<uint64_t>(r->icode_code[i]);
+    if (key != last_rkey) {
+      auto [it, ins] = res_map.try_emplace(key, static_cast<int32_t>(res_first.size()));
+      if (ins) res_first.push_back(i);
+      last_rkey = key;
+      last_rcode = it->second;
+    }
+    res_code[i] = last_rcode;
+  }
+  const int64_t n_res = static_cast<int64_t>(res_first.size());
+
+  // Conformer codes (res, resname, alt) in first-appearance order.
+  std::unordered_map<uint64_t, int32_t> conf_map;
+  conf_map.reserve(static_cast<size_t>(n_res) * 2);
+  std::vector<int32_t> conf_code(n);
+  std::vector<int64_t> conf_first;
+  std::vector<int32_t> conf_res, conf_alt;
+  uint64_t last_ckey = ~0ull; int32_t last_ccode = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t key = (static_cast<uint64_t>(res_code[i]) << 24) |
+                   (static_cast<uint64_t>(r->resname_code[i]) << 12) |
+                   static_cast<uint64_t>(r->alt_code[i]);
+    if (key != last_ckey) {
+      auto [it, ins] = conf_map.try_emplace(key, static_cast<int32_t>(conf_first.size()));
+      if (ins) {
+        conf_first.push_back(i);
+        conf_res.push_back(res_code[i]);
+        conf_alt.push_back(r->alt_code[i]);
+      }
+      last_ckey = key;
+      last_ccode = it->second;
+    }
+    conf_code[i] = last_ccode;
+  }
+  const int64_t n_conf = static_cast<int64_t>(conf_first.size());
+
+  // Kept conformers: blank alt-loc plus the residue's FIRST alternate
+  // (levels.py alt-loc policy; reference first-conformer semantics
+  // options.rs:162,255,333,433 resolved against FreeSASA parity).
+  std::vector<int64_t> first_nb(n_res, INT64_MAX);
+  for (int64_t c = 0; c < n_conf; ++c)
+    if (conf_alt[c] != blank_alt && conf_first[c] < first_nb[conf_res[c]])
+      first_nb[conf_res[c]] = conf_first[c];
+  std::vector<uint8_t> conf_kept(n_conf);
+  for (int64_t c = 0; c < n_conf; ++c)
+    conf_kept[c] = (conf_alt[c] == blank_alt) ||
+                   (conf_first[c] == first_nb[conf_res[c]]);
+
+  std::vector<uint8_t> kept(n);
+  for (int64_t i = 0; i < n; ++i) kept[i] = conf_kept[conf_code[i]];
+
+  // Element required for every kept-conformer atom (reference fetches it
+  // before filtering, options.rs:164).
+  for (int64_t i = 0; i < n; ++i) {
+    if (kept[i] && r->element_code[i] == blank_elem) {
+      auto nm = tab_entry(r->name_tab, r->name_code[i]);
+      snprintf(s->error, sizeof(s->error), "E_ELEMENT\t%.*s\t%lld",
+               static_cast<int>(nm.size()), nm.data(),
+               static_cast<long long>(r->serial[i]));
+      return s;
+    }
+  }
+  if (!include_h && h_elem >= 0)
+    for (int64_t i = 0; i < n; ++i)
+      if (r->element_code[i] == h_elem) kept[i] = 0;
+  if (!include_het)
+    for (int64_t i = 0; i < n; ++i)
+      if (r->hetero[i]) kept[i] = 0;
+
+  // Hierarchy traversal order: (chain, residue, conformer, position).
+  std::vector<int64_t> idx;
+  idx.reserve(n);
+  bool sorted = true;
+  for (int64_t i = 1; i < n && sorted; ++i) {
+    uint64_t a = (static_cast<uint64_t>(r->chain_code[i - 1]) << 48) |
+                 (static_cast<uint64_t>(res_code[i - 1]) << 24) |
+                 static_cast<uint64_t>(conf_code[i - 1]);
+    uint64_t b = (static_cast<uint64_t>(r->chain_code[i]) << 48) |
+                 (static_cast<uint64_t>(res_code[i]) << 24) |
+                 static_cast<uint64_t>(conf_code[i]);
+    if (b < a) sorted = false;
+  }
+  if (sorted) {
+    for (int64_t i = 0; i < n; ++i)
+      if (kept[i]) idx.push_back(i);
+  } else {
+    for (int64_t i = 0; i < n; ++i)
+      if (kept[i]) idx.push_back(i);
+    std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+      if (r->chain_code[a] != r->chain_code[b])
+        return r->chain_code[a] < r->chain_code[b];
+      if (res_code[a] != res_code[b]) return res_code[a] < res_code[b];
+      return conf_code[a] < conf_code[b];
+    });
+  }
+  const int64_t m = static_cast<int64_t>(idx.size());
+
+  // Radii: memoized per (resname, atom name) pair (reference precedence:
+  // occupancy > custom/protor table > vdW-if-allowed > error,
+  // options.rs:83-103; custom configs take the Python path).
+  owner->radii.resize(m);
+  if (read_occ) {
+    for (int64_t k = 0; k < m; ++k) owner->radii[k] = r->occupancy[idx[k]];
+  } else {
+    std::unordered_map<uint64_t, float> memo;
+    memo.reserve(256);
+    for (int64_t k = 0; k < m; ++k) {
+      int64_t i = idx[k];
+      uint64_t key = (static_cast<uint64_t>(r->resname_code[i]) << 32) |
+                     static_cast<uint64_t>(r->name_code[i]);
+      auto it = memo.find(key);
+      if (it == memo.end()) {
+        auto rn = tab_entry(r->resname_tab, r->resname_code[i]);
+        auto an = tab_entry(r->name_tab, r->name_code[i]);
+        std::string pk;
+        pk.reserve(rn.size() + an.size() + 1);
+        pk.append(rn);
+        pk.push_back('\t');
+        pk.append(an);
+        auto pit = g_radii.pair.find(pk);
+        float rad;
+        if (pit != g_radii.pair.end()) {
+          rad = pit->second;
+        } else {
+          auto el = tab_entry(r->element_tab, r->element_code[i]);
+          if (!allow_vdw) {
+            snprintf(s->error, sizeof(s->error), "E_RADIUS\t%.*s\t%.*s\t%.*s",
+                     static_cast<int>(rn.size()), rn.data(),
+                     static_cast<int>(an.size()), an.data(),
+                     static_cast<int>(el.size()), el.data());
+            return s;
+          }
+          auto vit = g_radii.vdw.find(std::string(el));
+          if (vit == g_radii.vdw.end()) {
+            snprintf(s->error, sizeof(s->error), "E_VDW\t%.*s",
+                     static_cast<int>(el.size()), el.data());
+            return s;
+          }
+          rad = vit->second;
+        }
+        it = memo.emplace(key, rad).first;
+      }
+      owner->radii[k] = it->second;
+    }
+  }
+
+  // Occlusion-exclusion group ids: (alt_loc, serial), serial-only at
+  // protein level (reference: options.rs:183,276,354 vs :453).
+  owner->gids.resize(m);
+  {
+    std::unordered_map<uint64_t, int32_t> gmap;
+    gmap.reserve(static_cast<size_t>(m));
+    for (int64_t k = 0; k < m; ++k) {
+      int64_t i = idx[k];
+      uint64_t key =
+          (level == 3)
+              ? static_cast<uint64_t>(r->serial[i])
+              : ((static_cast<uint64_t>(r->alt_code[i]) << 48) |
+                 (static_cast<uint64_t>(r->serial[i]) & 0xFFFFFFFFFFFFull));
+      auto [it, ins] = gmap.try_emplace(key, static_cast<int32_t>(gmap.size()));
+      owner->gids[k] = it->second;
+    }
+  }
+
+  owner->coords.resize(m * 3);
+  for (int64_t k = 0; k < m; ++k) {
+    int64_t i = idx[k];
+    owner->coords[k * 3 + 0] = r->coords[i * 3 + 0];
+    owner->coords[k * 3 + 1] = r->coords[i * 3 + 1];
+    owner->coords[k * 3 + 2] = r->coords[i * 3 + 2];
+  }
+
+  // Residue slots in traversal order (chain-major, then first appearance).
+  std::vector<int32_t> res_order(n_res);
+  for (int64_t rc = 0; rc < n_res; ++rc) res_order[rc] = rc;
+  std::stable_sort(res_order.begin(), res_order.end(),
+                   [&](int32_t a, int32_t b) {
+                     return r->chain_code[res_first[a]] <
+                            r->chain_code[res_first[b]];
+                   });
+  std::vector<int32_t> slot_of_code(n_res);
+  for (int64_t sl = 0; sl < n_res; ++sl) slot_of_code[res_order[sl]] = sl;
+
+  owner->res_slot.resize(m);
+  for (int64_t k = 0; k < m; ++k)
+    owner->res_slot[k] = slot_of_code[res_code[idx[k]]];
+
+  owner->res_serial.resize(n_res);
+  owner->res_icode.resize(n_res);
+  owner->res_name.resize(n_res);
+  owner->res_chain.resize(n_res);
+  for (int64_t sl = 0; sl < n_res; ++sl) {
+    int64_t fi = res_first[res_order[sl]];
+    owner->res_serial[sl] = r->res_serial[fi];
+    owner->res_icode[sl] = r->icode_code[fi];
+    owner->res_name[sl] = r->resname_code[fi];
+    owner->res_chain[sl] = r->chain_code[fi];
+  }
+
+  s->m = m;
+  s->coords = owner->coords.data();
+  s->radii = owner->radii.data();
+  s->gids = owner->gids.data();
+  s->residue_slot = owner->res_slot.data();
+  s->n_res = n_res;
+  s->res_serial = owner->res_serial.data();
+  s->res_icode_code = owner->res_icode.data();
+  s->res_name_code = owner->res_name.data();
+  s->res_chain_idx = owner->res_chain.data();
+  return s;
+}
+
+void fastpipe_sel_free(SelResult* s) {
+  if (!s) return;
+  delete s->owner;
+  delete s;
+}
+
+// Aggregation + serialization + file write (reference: src/utils/io.rs
+// JSON/XML schemas; executable spec: io/serialize.py fast_selection_json/
+// fast_selection_xml).  fmt: 0=json 1=xml.  Returns 0 on success.
+int fastpipe_emit(FPResult* r, SelResult* s, const float* atom_sasa,
+                  int level, int fmt, const char* out_path, char* errbuf) {
+  const int64_t m = s->m;
+  const int64_t n_res = s->n_res;
+  std::string out;
+  out.reserve(static_cast<size_t>(n_res) * 120 + 64);
+  char fb[40];
+
+  // Residue sums in f64, emitted as f32 (levels.py _residue_sums).
+  std::vector<double> sums64(n_res, 0.0);
+  for (int64_t k = 0; k < m; ++k)
+    sums64[s->residue_slot[k]] += static_cast<double>(atom_sasa[k]);
+
+  if (level == 0) {  // atom
+    out += fmt == 0 ? "{\"Atom\":[" : "";
+    for (int64_t k = 0; k < m; ++k) {
+      fmt_f32(fb, atom_sasa[k]);
+      if (fmt == 0) {
+        if (k) out.push_back(',');
+        out += fb;
+      } else {
+        out += "<Atom>";
+        int nn = fmt_f32(fb, atom_sasa[k]);
+        out.append(fb, nn);
+        out += "</Atom>";
+      }
+    }
+    if (fmt == 0) out += "]}";
+  } else if (level == 1) {  // residue
+    if (fmt == 0) out += "{\"Residue\":[";
+    for (int64_t sl = 0; sl < n_res; ++sl) {
+      auto rn = tab_entry(r->resname_tab, s->res_name_code[sl]);
+      auto ic = tab_entry(r->icode_tab, s->res_icode_code[sl]);
+      auto cid = tab_entry(r->chain_tab, s->res_chain_idx[sl]);
+      float val = static_cast<float>(sums64[sl]);
+      if (fmt == 0) {
+        if (sl) out.push_back(',');
+        out += "{\"serial_number\":";
+        char ib[24];
+        snprintf(ib, sizeof(ib), "%lld",
+                 static_cast<long long>(s->res_serial[sl]));
+        out += ib;
+        out += ",\"insertion_code\":";
+        json_escape(out, ic);
+        out += ",\"value\":";
+        fmt_f32(fb, val);
+        out += fb;
+        out += ",\"name\":";
+        json_escape(out, rn);
+        out += is_polar_res(rn) ? ",\"is_polar\":true" : ",\"is_polar\":false";
+        out += ",\"chain_id\":";
+        json_escape(out, cid);
+        out.push_back('}');
+      } else {
+        out += "<Residue><serial_number>";
+        char ib[24];
+        snprintf(ib, sizeof(ib), "%lld",
+                 static_cast<long long>(s->res_serial[sl]));
+        out += ib;
+        out += "</serial_number><insertion_code>";
+        xml_escape(out, ic);
+        out += "</insertion_code><value>";
+        fmt_f32(fb, val);
+        out += fb;
+        out += "</value><name>";
+        xml_escape(out, rn);
+        out += "</name><is_polar>";
+        out += is_polar_res(rn) ? "true" : "false";
+        out += "</is_polar><chain_id>";
+        xml_escape(out, cid);
+        out += "</chain_id></Residue>";
+      }
+    }
+    if (fmt == 0) out += "]}";
+  } else if (level == 2) {  // chain
+    std::vector<double> csum(s->n_chain, 0.0);
+    for (int64_t sl = 0; sl < n_res; ++sl)
+      csum[s->res_chain_idx[sl]] += sums64[sl];
+    // serialize_chain_id collision semantics: colliding chains all read the
+    // LAST chain's value (reference: options.rs:300-308,361).
+    std::unordered_map<int64_t, int32_t> last_for_key;
+    for (int32_t c = 0; c < s->n_chain; ++c)
+      last_for_key[serialize_chain_id(tab_entry(r->chain_tab, c))] = c;
+    if (fmt == 0) out += "{\"Chain\":[";
+    for (int32_t c = 0; c < s->n_chain; ++c) {
+      auto cid = tab_entry(r->chain_tab, c);
+      float val = static_cast<float>(
+          csum[last_for_key[serialize_chain_id(cid)]]);
+      if (fmt == 0) {
+        if (c) out.push_back(',');
+        out += "{\"name\":";
+        json_escape(out, cid);
+        out += ",\"value\":";
+        fmt_f32_short_json(fb, val);
+        out += fb;
+        out += "}";
+      } else {
+        out += "<Chain><name>";
+        xml_escape(out, cid);
+        out += "</name><value>";
+        fmt_f32_short(fb, val);
+        out += fb;
+        out += "</value></Chain>";
+      }
+    }
+    if (fmt == 0) out += "]}";
+  } else {  // protein
+    double global = 0.0, polar = 0.0, nonpolar = 0.0;
+    for (int64_t k = 0; k < m; ++k) global += static_cast<double>(atom_sasa[k]);
+    for (int64_t sl = 0; sl < n_res; ++sl) {
+      float v = static_cast<float>(sums64[sl]);
+      auto rn = tab_entry(r->resname_tab, s->res_name_code[sl]);
+      if (is_polar_res(rn)) polar += static_cast<double>(v);
+      else nonpolar += static_cast<double>(v);
+    }
+    float g = static_cast<float>(global), p = static_cast<float>(polar),
+          np_ = static_cast<float>(nonpolar);
+    if (fmt == 0) {
+      out += "{\"Protein\":{\"global_total\":";
+      fmt_f32_short_json(fb, g); out += fb;
+      out += ",\"polar_total\":";
+      fmt_f32_short_json(fb, p); out += fb;
+      out += ",\"non_polar_total\":";
+      fmt_f32_short_json(fb, np_); out += fb;
+      out += "}}";
+    } else {
+      out += "<Protein><global_total>";
+      fmt_f32_short(fb, g); out += fb;
+      out += "</global_total><polar_total>";
+      fmt_f32_short(fb, p); out += fb;
+      out += "</polar_total><non_polar_total>";
+      fmt_f32_short(fb, np_); out += fb;
+      out += "</non_polar_total></Protein>";
+    }
+  }
+
+  FILE* f = fopen(out_path, "wb");
+  if (!f) {
+    snprintf(errbuf, 256, "failed to open output file: %s", out_path);
+    return 1;
+  }
+  size_t wrote = fwrite(out.data(), 1, out.size(), f);
+  fclose(f);
+  if (wrote != out.size()) {
+    snprintf(errbuf, 256, "short write: %s", out_path);
+    return 1;
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -1,0 +1,168 @@
+"""Native (C++) parse+select+emit pipeline parity vs the Python path.
+
+The Python implementations (levels.build_selection, io.serialize fast
+paths) are the executable specification; the native pipeline must agree
+on every reference structure and every output level.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from rustsasa_tpu.api import SASAOptions
+from rustsasa_tpu.io.read import read_structure
+from rustsasa_tpu.io.serialize import fast_selection_json, fast_selection_xml
+from rustsasa_tpu.levels import Level
+from rustsasa_tpu.native import (
+    NativeFallback,
+    native_process_file,
+    pipe_library,
+)
+
+from conftest import REFERENCE_DATA
+
+pytestmark = pytest.mark.skipif(
+    pipe_library() is None, reason="native library unavailable"
+)
+
+FREESASA_DIR = REFERENCE_DATA / "freesasa_pdbs"
+PDB_DIR = REFERENCE_DATA / "pdbs"
+
+
+def _sample_files(limit=12):
+    files = [str(PDB_DIR / "example.cif")]
+    if FREESASA_DIR.is_dir():
+        entries = sorted(os.listdir(FREESASA_DIR))[:limit]
+        files += [str(FREESASA_DIR / f) for f in entries]
+    for extra in ("bad_seqadv_1A06.pdb", "151L_H3.pdb"):
+        p = PDB_DIR / extra
+        if p.is_file():
+            files.append(str(p))
+    return files
+
+
+@pytest.mark.parametrize("path", _sample_files())
+def test_native_select_matches_python(path):
+    options = SASAOptions(level=Level.RESIDUE)
+    sel = options.build_selection(read_structure(path))
+    ns = native_process_file(
+        path, level="residue", include_hydrogens=False,
+        include_hetatms=False, read_radii_from_occupancy=False,
+        allow_vdw_fallback=False,
+    )
+    try:
+        np.testing.assert_array_equal(ns.coords, sel.coords)
+        np.testing.assert_array_equal(ns.radii, sel.radii)
+        # gids: equality structure must match (values are arbitrary dense)
+        _, py_inv = np.unique(sel.group_ids, return_inverse=True)
+        _, nat_inv = np.unique(ns.gids, return_inverse=True)
+        assert len(np.unique(sel.group_ids)) == len(np.unique(ns.gids))
+        same_py = py_inv[:, None] == py_inv[None, :] if len(py_inv) < 800 \
+            else None
+        if same_py is not None:
+            same_nat = nat_inv[:, None] == nat_inv[None, :]
+            assert (same_py == same_nat).all()
+    finally:
+        ns.close()
+
+
+@pytest.mark.parametrize("level", list(Level))
+@pytest.mark.parametrize("fmt", ["json", "xml"])
+def test_native_emit_matches_python(tmp_path, level, fmt):
+    path = str(PDB_DIR / "example.cif")
+    options = SASAOptions(level=level)
+    sel = options.build_selection(read_structure(path))
+    rng = np.random.default_rng(42)
+    sasa = rng.uniform(0.0, 50.0, sel.coords.shape[0]).astype(np.float32)
+
+    expected = (
+        fast_selection_json(sel, sasa, level)
+        if fmt == "json"
+        else fast_selection_xml(sel, sasa, level)
+    )
+
+    ns = native_process_file(
+        path, level=level.value, include_hydrogens=False,
+        include_hetatms=False, read_radii_from_occupancy=False,
+        allow_vdw_fallback=False,
+    )
+    try:
+        out = tmp_path / f"out.{fmt}"
+        ns.emit(sasa, level.value, fmt, str(out))
+        assert out.read_text() == expected
+    finally:
+        ns.close()
+
+
+def test_native_emit_multichain(tmp_path):
+    # A multi-chain PDB exercises chain grouping + serialize_chain_id.
+    files = [f for f in os.listdir(FREESASA_DIR)] if FREESASA_DIR.is_dir() else []
+    assert files
+    path = None
+    for f in sorted(files):
+        s = read_structure(str(FREESASA_DIR / f))
+        sel = SASAOptions(level=Level.CHAIN).build_selection(s)
+        if len(sel.chain_ids) > 1:
+            path = str(FREESASA_DIR / f)
+            break
+    assert path is not None, "no multi-chain structure in sample"
+    sel = SASAOptions(level=Level.CHAIN).build_selection(read_structure(path))
+    sasa = np.linspace(0, 10, sel.coords.shape[0]).astype(np.float32)
+    expected = fast_selection_json(sel, sasa, Level.CHAIN)
+    ns = native_process_file(
+        path, level="chain", include_hydrogens=False, include_hetatms=False,
+        read_radii_from_occupancy=False, allow_vdw_fallback=False,
+    )
+    try:
+        out = tmp_path / "out.json"
+        ns.emit(sasa, "chain", "json", str(out))
+        assert out.read_text() == expected
+    finally:
+        ns.close()
+
+
+def test_native_occupancy_and_hydrogens():
+    path = str(PDB_DIR / "example.cif")
+    for kwargs in (
+        dict(include_hydrogens=True, include_hetatms=True,
+             read_radii_from_occupancy=False, allow_vdw_fallback=True),
+        dict(include_hydrogens=False, include_hetatms=False,
+             read_radii_from_occupancy=True, allow_vdw_fallback=False),
+    ):
+        options = SASAOptions(level=Level.RESIDUE, **kwargs)
+        sel = options.build_selection(read_structure(path))
+        ns = native_process_file(path, level="residue", **kwargs)
+        try:
+            np.testing.assert_array_equal(ns.coords, sel.coords)
+            np.testing.assert_array_equal(ns.radii, sel.radii)
+        finally:
+            ns.close()
+
+
+def test_native_radius_missing_error():
+    from rustsasa_tpu.radii import RadiusMissingError
+
+    path = str(PDB_DIR / "example.cif")
+    # HETATMs included without vdW fallback -> unknown (res, atom) pairs.
+    s = read_structure(path)
+    has_het = bool(s.atoms.hetero.any())
+    if not has_het:
+        pytest.skip("no HETATM in example.cif")
+    with pytest.raises(RadiusMissingError):
+        native_process_file(
+            path, level="residue", include_hydrogens=False,
+            include_hetatms=True, read_radii_from_occupancy=False,
+            allow_vdw_fallback=False,
+        )
+
+
+def test_native_missing_file_error():
+    from rustsasa_tpu.io.read import StructureReadError
+
+    with pytest.raises((StructureReadError, NativeFallback)):
+        native_process_file(
+            "/nonexistent/file.pdb", level="residue",
+            include_hydrogens=False, include_hetatms=False,
+            read_radii_from_occupancy=False, allow_vdw_fallback=False,
+        )
