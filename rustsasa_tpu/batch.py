@@ -31,6 +31,7 @@ from .io.serialize import (
     sasa_result_to_xml,
 )
 from .levels import aggregate
+from .native import NativeFallback, NativeSelection, native_process_file, pipe_library
 from .ops.engine import BatchedSasaEngine, SasaParams
 
 
@@ -137,19 +138,62 @@ def process_directory(
         SasaParams(probe_radius=options.probe_radius, n_points=options.n_points)
     )
 
+    # The native C++ pipeline (parse + select + aggregate + emit, all
+    # GIL-free) handles the default radii table and json/xml outputs; any
+    # other configuration - and any file the native path declines - routes
+    # through the Python pipeline.  Both produce byte-identical outputs
+    # (tests/test_native_pipe.py).
+    use_native = (
+        output_format in ("json", "xml")
+        and options.radii_config is None
+        and pipe_library() is not None
+    )
+    level_str = options.level.value
+
     # Parse + select on host worker threads (native parser releases the GIL).
+    # Returns (path, handle, err): handle is a NativeSelection or a
+    # (structure, selection) pair for the Python route.
     def load(path):
+        if use_native:
+            try:
+                ns = native_process_file(
+                    path,
+                    level=level_str,
+                    include_hydrogens=options.include_hydrogens,
+                    include_hetatms=options.include_hetatms,
+                    read_radii_from_occupancy=options.read_radii_from_occupancy,
+                    allow_vdw_fallback=options.allow_vdw_fallback,
+                )
+                return (path, ns, None)
+            except NativeFallback:
+                pass
+            except Exception as e:  # noqa: BLE001 - per-file isolation
+                return (path, None, f"Error processing {os.path.basename(path)}: {e}")
         try:
             structure = read_structure(path)
             sel = options.build_selection(structure)
-            return (path, structure, sel, None)
+            return (path, (structure, sel), None)
         except Exception as e:  # noqa: BLE001 - per-file isolation
-            return (path, None, None, f"Error processing {os.path.basename(path)}: {e}")
+            return (path, None, f"Error processing {os.path.basename(path)}: {e}")
+
+    def triple(handle):
+        if isinstance(handle, NativeSelection):
+            return (handle.coords, handle.radii, handle.gids)
+        return (handle[1].coords, handle[1].radii, handle[1].group_ids)
 
     # Aggregate + serialize + write on host worker threads.
     def emit(args):
-        (path, structure, sel), atom_sasa = args
+        (path, handle), atom_sasa = args
+        stem = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(output_dir, f"{stem}.{output_format}")
         try:
+            if isinstance(handle, NativeSelection):
+                try:
+                    handle.emit(atom_sasa, level_str, output_format, out_path)
+                finally:
+                    handle.close()
+                return None
+            structure, sel = handle
             if output_format == "json":
                 # Vectorized hot path - no per-residue Python objects.
                 payload = fast_selection_json(sel, atom_sasa, options.level)
@@ -158,8 +202,6 @@ def process_directory(
             else:
                 result = aggregate(sel, atom_sasa, options.level)
                 payload = serialize_result(structure, result, output_format)
-            stem = os.path.splitext(os.path.basename(path))[0]
-            out_path = os.path.join(output_dir, f"{stem}.{output_format}")
             with open(out_path, "w", encoding="utf-8") as f:
                 f.write(payload)
             return None
@@ -181,14 +223,12 @@ def process_directory(
             loaded = [f.result() for f in next_load]
             if w + 1 < len(waves):
                 next_load = [pool.submit(load, p) for p in waves[w + 1]]
-            good = [(p, s, sel) for (p, s, sel, err) in loaded if err is None]
-            for _, _, _, err in loaded:
+            good = [(p, h) for (p, h, err) in loaded if err is None]
+            for _, _, err in loaded:
                 if err is not None:
                     report.errors.append(err)
                     bar.tick()
-            triples = [
-                (sel.coords, sel.radii, sel.group_ids) for (_, _, sel) in good
-            ]
+            triples = [triple(h) for (_, h) in good]
             atom_sasas = engine.compute(triples)
             emit_futures.extend(
                 pool.submit(emit, args) for args in zip(good, atom_sasas)

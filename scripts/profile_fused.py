@@ -57,21 +57,28 @@ sphere_packed = _sphere_packed(100)
 sphere128 = np.zeros((sphere_packed.shape[0], 128), dtype=np.float32)
 sphere128[:, 0:4] = sphere_packed
 
-planes_d = jax.device_put(planes)
+# Distinct input VALUES per repetition: the axon tunnel memoizes repeated
+# identical (executable, args) calls, so warm timings on the same buffers
+# read ~0ms.  A 1e-5 A coordinate jitter changes nothing about the work.
+variants = []
+for rep in range(4):
+    p = planes.copy()
+    p[0:3, :] += np.float32(1e-5 * rep)
+    variants.append(jax.device_put(p))
 jlist_d = jax.device_put(jlist)
 sphere_d = jax.device_put(sphere128)
 
 t0 = time.time()
 out = jax.block_until_ready(
-    fused_kernel.fused_sasa(planes_d, jlist_d, sphere_d, n_points=100)
+    fused_kernel.fused_sasa(variants[0], jlist_d, sphere_d, n_points=100)
 )
 print(f"first call (compile?) {time.time()-t0:.2f}s", flush=True)
 
 times = []
-for _ in range(3):
+for rep in range(1, 4):
     t0 = time.time()
     out = jax.block_until_ready(
-        fused_kernel.fused_sasa(planes_d, jlist_d, sphere_d, n_points=100)
+        fused_kernel.fused_sasa(variants[rep], jlist_d, sphere_d, n_points=100)
     )
     times.append(time.time() - t0)
 best = min(times)
