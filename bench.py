@@ -56,7 +56,7 @@ def build_corpus() -> tuple[str, int, int]:
     files = sorted(
         os.path.join(src_dir, f)
         for f in os.listdir(src_dir)
-        if f.endswith((".pdb", ".cif"))
+        if f.endswith((".pdb", ".cif", ".pdb.gz", ".cif.gz"))
     )
     sizes = {}
     for f in files:

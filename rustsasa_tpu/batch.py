@@ -184,7 +184,10 @@ def process_directory(
     # Aggregate + serialize + write on host worker threads.
     def emit(args):
         (path, handle), atom_sasa = args
-        stem = os.path.splitext(os.path.basename(path))[0]
+        base = os.path.basename(path)
+        if base.endswith(".gz"):
+            base = base[:-3]
+        stem = os.path.splitext(base)[0]
         out_path = os.path.join(output_dir, f"{stem}.{output_format}")
         try:
             if isinstance(handle, NativeSelection):

@@ -31,11 +31,12 @@ def pearson(xs, ys):
 
 
 def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pdb_dir = sys.argv[1] if len(sys.argv) > 1 else (
-        "/root/reference/tests/data/freesasa_pdbs"
+        os.path.join(repo, "tests", "data", "freesasa_pdbs")
     )
     ref_dir = sys.argv[2] if len(sys.argv) > 2 else (
-        "/root/reference/tests/data/freesasa_reference"
+        os.path.join(repo, "tests", "data", "freesasa_reference")
     )
 
     from rustsasa_tpu.api import SASAOptions

@@ -25,13 +25,15 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
-REFERENCE_DATA = pathlib.Path("/root/reference/tests/data")
+# Self-contained: the quality dataset (88 FreeSASA PDBs gzipped + stored
+# FreeSASA JSONs + awkward-PDB fixtures) is vendored in tests/data, so the
+# quality gate runs everywhere and can never green-light by skipping.
+REFERENCE_DATA = REPO_ROOT / "tests" / "data"
 
 
 @pytest.fixture(scope="session")
 def reference_data_dir() -> pathlib.Path:
-    if not REFERENCE_DATA.is_dir():
-        pytest.skip("reference test data not available")
+    assert REFERENCE_DATA.is_dir(), "vendored test data missing"
     return REFERENCE_DATA
 
 
