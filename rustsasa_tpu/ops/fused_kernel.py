@@ -21,6 +21,17 @@ src/structures/spatial_grid.rs):
     so no per-pair cutoff test is needed - 5 [P, A] vector ops per j-atom;
   * double-buffered DMA overlaps the next j-tile fetch with compute.
 
+Measured dead-ends (scripts/kernel_experiments.py, TPU v5e): a max-plus
+reformulation via separable dots (dot(s, c_i - c_j) = SXI - SXJ on the
+MXU) costs MORE (140-180 vs ~90 cyc/j-atom executed) because the per-j
+lane-broadcast of SXJ[:, j] touches all 13 occlusion vregs; FMA reordering
+(limg - s0*vx - s1*vy - s2*vz) is 1.7x slower than the mul/add chain; a
+tile-level occlusion-saturation early exit never fires on proteome-scale
+inputs (128-atom Morton tiles almost always contain surface atoms) and
+costs ~6% in while_loop overhead.  Host tile culling is within ~1.4x of
+its geometric floor (15.8 in-reach j-tiles/i-tile measured vs ~11 minimum
+for 12A tiles at 6.6A reach).
+
 Everything after the per-structure packing runs in one pallas_call per
 chunk; HBM traffic is one 4KB read per active tile pair plus the output.
 """

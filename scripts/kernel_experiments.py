@@ -289,7 +289,142 @@ def run_v2(name, fma, skip):
     print(f"{name:14s} compile {c:6.1f}s warm {min(times)*1000:7.1f}ms -> {per*1e9:6.0f} ns/j-atom ({per*940e6:.0f} cyc)", flush=True)
 
 
+def make_v3_kernel(per_tile, static_groups, precision, skip, sat):
+    """Max-plus variants: dot(s, c_i - c_j) separated into two matmuls.
+
+    per_tile: one [P,128c]x[128a,128c] matmul per j-tile (needs
+      static_groups for static lane slicing of the result) vs a
+      [P,8]x[8,8] matmul per 8-group.
+    """
+    prec = getattr(jax.lax.Precision, precision)
+
+    def kernel(sphere_ref, planes_i_ref, out_ref, sxi_ref, jdata):
+        a = A
+        reffi = planes_i_ref[3:4, :]
+        gidi = planes_i_ref[4:5, :]
+        r2i = reffi * reffi
+        inv2ri = 0.5 / jnp.maximum(reffi, 1e-6)
+        col8 = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
+        sphere_xyz8 = jnp.where(col8 < 3, sphere_ref[:, 0:8], 0.0)
+        row8 = jax.lax.broadcasted_iota(jnp.int32, (8, a), 0)
+        pi8 = jnp.where(row8 < 3, planes_i_ref[...], 0.0)
+        sxi_ref[...] = jax.lax.dot_general(
+            sphere_xyz8, pi8, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        jdata[...] = jnp.ones_like(jdata)
+        group = 8
+        n_jtiles = NJ // A
+
+        def jtile(t, occ):
+            tile = jdata[pl.ds(t * A, A), :]  # [128, 128]
+            if per_tile:
+                czero = jax.lax.broadcasted_iota(
+                    jnp.int32, (P, 128), 1)
+                sxyz128 = jnp.where(czero < 3, sphere_ref[...], 0.0)
+                sxj_t = jax.lax.dot_general(
+                    sxyz128, tile, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )  # [P, 128]
+
+            def kgroup(g, occ):
+                rows = (
+                    tile[g * group:(g + 1) * group, :]
+                    if static_groups
+                    else jdata[pl.ds(t * A + g * group, group), :]
+                )
+                xk = rows[:, 0:1]; yk = rows[:, 1:2]; zk = rows[:, 2:3]
+                rk = rows[:, 3:4]; gk = rows[:, 4:5]
+                vxg = planes_i_ref[0:1, :] - xk
+                vyg = planes_i_ref[1:2, :] - yk
+                vzg = planes_i_ref[2:3, :] - zk
+                v2g = vxg * vxg + vyg * vyg + vzg * vzg
+
+                def do(occ):
+                    limg = (rk * rk - v2g - r2i) * inv2ri
+                    limg = jnp.where(
+                        (gidi == gk) | (gk == 0.0), -1e30, limg)
+                    if per_tile:
+                        sxj = sxj_t[:, g * group:(g + 1) * group]
+                    else:
+                        sxj = jax.lax.dot_general(
+                            sphere_xyz8, rows[:, 0:8],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=prec,
+                        )
+                    for r in range(group):
+                        occ = jnp.maximum(
+                            occ, sxj[:, r:r + 1] + limg[r:r + 1, :])
+                    return occ
+
+                if not skip:
+                    return do(occ)
+                reach = reffi + rk
+                hit = jnp.min(v2g - reach * reach) < 0.0
+                return jax.lax.cond(hit, do, lambda o: o, occ)
+
+            if static_groups:
+                for g in range(A // group):
+                    occ = kgroup(g, occ)
+            else:
+                occ = jax.lax.fori_loop(0, A // group, kgroup, occ)
+            if sat:
+                # dummy saturation read (never fires with fake data)
+                occ = jnp.where(
+                    jnp.min(occ - sxi_ref[...]) > 1e30, occ - 1.0, occ)
+            return occ
+
+        occ = jax.lax.fori_loop(0, n_jtiles, jtile,
+                                jnp.full((P, a), -1e30))
+        out_ref[...] = jnp.sum(occ, axis=0, keepdims=True)
+    return kernel
+
+
+def run_v3(name, **kw):
+    m = T * A
+    sphere = np.random.default_rng(0).normal(size=(P, 128)).astype(np.float32)
+    planes = np.random.default_rng(1).normal(size=(8, m)).astype(np.float32)
+    fn = pl.pallas_call(
+        make_v3_kernel(**kw),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((P, 128), lambda i: (0, 0)),
+            pl.BlockSpec((8, A), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, A), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((P, A), jnp.float32),
+            pltpu.VMEM((NJ, 128), jnp.float32),
+        ],
+    )
+    jfn = jax.jit(lambda s, p: fn(s, p))
+    t0 = time.time(); out = np.asarray(jfn(sphere, planes)); c = time.time()-t0
+    times = []
+    for _ in range(3):
+        t0 = time.time(); out = np.asarray(jfn(sphere, planes)); times.append(time.time()-t0)
+    per = min(times) / (T * NJ)
+    print(f"{name:22s} compile {c:6.1f}s warm {min(times)*1000:7.1f}ms -> {per*1e9:6.0f} ns/j-atom ({per*940e6:.0f} cyc)", flush=True)
+
+
 if __name__ == "__main__":
-    run_v2("g8", False, False)
-    run_v2("g8_fma", True, False)
-    run_v2("g8_fma_skip", True, True)
+    import sys as _sys
+    which = _sys.argv[1] if len(_sys.argv) > 1 else "v3"
+    if which == "v2":
+        run_v2("g8", False, False)
+        run_v2("g8_fma", True, False)
+        run_v2("g8_fma_skip", True, True)
+    else:
+        run_v3("mp_tile_hi", per_tile=True, static_groups=True,
+               precision="HIGHEST", skip=False, sat=False)
+        run_v3("mp_tile_def", per_tile=True, static_groups=True,
+               precision="DEFAULT", skip=False, sat=False)
+        run_v3("mp_tile_hi_skip", per_tile=True, static_groups=True,
+               precision="HIGHEST", skip=True, sat=False)
+        run_v3("mp_group_hi", per_tile=False, static_groups=False,
+               precision="HIGHEST", skip=False, sat=False)
+        run_v3("mp_group_def", per_tile=False, static_groups=False,
+               precision="DEFAULT", skip=False, sat=False)
+        run_v3("mp_tile_hi_sat", per_tile=True, static_groups=True,
+               precision="HIGHEST", skip=False, sat=True)

@@ -69,15 +69,16 @@ jlist_d = jax.device_put(jlist)
 sphere_d = jax.device_put(sphere128)
 
 t0 = time.time()
-out = jax.block_until_ready(
+out = np.asarray(
     fused_kernel.fused_sasa(variants[0], jlist_d, sphere_d, n_points=100)
 )
-print(f"first call (compile?) {time.time()-t0:.2f}s", flush=True)
+print(f"first call (compile?) {time.time()-t0:.2f}s  total={out.sum():.1f}",
+      flush=True)
 
 times = []
 for rep in range(1, 4):
     t0 = time.time()
-    out = jax.block_until_ready(
+    out = np.asarray(
         fused_kernel.fused_sasa(variants[rep], jlist_d, sphere_d, n_points=100)
     )
     times.append(time.time() - t0)
