@@ -12,7 +12,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXAMPLE = "/root/reference/tests/data/pdbs/example.cif"
+EXAMPLE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "data", "pdbs", "example.cif",
+)
 
 
 def timeit(name, fn, reps=10, warmup=2):

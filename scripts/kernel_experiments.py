@@ -210,7 +210,7 @@ if __name__ == "__main__" and False:
     run_grouped("group8", 8, False)
 
 
-def make_v2_kernel(fma, skip):
+def make_v2_kernel(fma, skip, hoist=False):
     def kernel(sphere_ref, planes_i_ref, out_ref, sphere_b, jdata):
         a = A
         xi = planes_i_ref[0:1, :]
@@ -237,16 +237,22 @@ def make_v2_kernel(fma, skip):
             limg = jnp.where((gidi == gk) | (gk == 0.0), -1e30, limg)
 
             def do(occ):
+                if hoist:
+                    sb0 = sphere_b[0][...]
+                    sb1 = sphere_b[1][...]
+                    sb2 = sphere_b[2][...]
+                else:
+                    sb0, sb1, sb2 = sphere_b[0], sphere_b[1], sphere_b[2]
                 for r in range(group):
                     if fma:
-                        m = limg[r:r+1, :] - sphere_b[0]*vxg[r:r+1, :]
-                        m = m - sphere_b[1]*vyg[r:r+1, :]
-                        m = m - sphere_b[2]*vzg[r:r+1, :]
+                        m = limg[r:r+1, :] - sb0*vxg[r:r+1, :]
+                        m = m - sb1*vyg[r:r+1, :]
+                        m = m - sb2*vzg[r:r+1, :]
                         occ = jnp.maximum(occ, m)
                     else:
-                        dots = (sphere_b[0]*vxg[r:r+1,:]
-                                + (sphere_b[1]*vyg[r:r+1,:]
-                                   + sphere_b[2]*vzg[r:r+1,:]))
+                        dots = (sb0*vxg[r:r+1,:]
+                                + (sb1*vyg[r:r+1,:]
+                                   + sb2*vzg[r:r+1,:]))
                         occ = jnp.maximum(occ, limg[r:r+1,:] - dots)
                 return occ
 
@@ -262,12 +268,12 @@ def make_v2_kernel(fma, skip):
     return kernel
 
 
-def run_v2(name, fma, skip):
+def run_v2(name, fma, skip, hoist=False):
     m = T * A
     sphere = np.random.default_rng(0).normal(size=(P, 128)).astype(np.float32)
     planes = np.random.default_rng(1).normal(size=(8, m)).astype(np.float32)
     fn = pl.pallas_call(
-        make_v2_kernel(fma, skip),
+        make_v2_kernel(fma, skip, hoist),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((P, 128), lambda i: (0, 0)),
@@ -408,10 +414,187 @@ def run_v3(name, **kw):
     print(f"{name:22s} compile {c:6.1f}s warm {min(times)*1000:7.1f}ms -> {per*1e9:6.0f} ns/j-atom ({per*940e6:.0f} cyc)", flush=True)
 
 
+def make_bf16_kernel(skip):
+    """g8 inner loop with the [P,A] occlusion stream in bf16.
+
+    If Mosaic packs bf16 at 2 values/lane, the 5 inner [P,A] ops halve
+    their vreg count.  Group prep (lim, v2) stays f32; only the
+    broadcast-multiply/accumulate stream converts.
+    """
+    def kernel(sphere_ref, planes_i_ref, out_ref, sphere_b, jdata):
+        a = A
+        xi = planes_i_ref[0:1, :]
+        yi = planes_i_ref[1:2, :]
+        zi = planes_i_ref[2:3, :]
+        reffi = planes_i_ref[3:4, :]
+        gidi = planes_i_ref[4:5, :]
+        r2i = reffi * reffi
+        inv2ri = 0.5 / jnp.maximum(reffi, 1e-6)
+        ones_a = jnp.ones((1, a), dtype=jnp.bfloat16)
+        sphere_b[0] = sphere_ref[:, 0:1].astype(jnp.bfloat16) * ones_a
+        sphere_b[1] = sphere_ref[:, 1:2].astype(jnp.bfloat16) * ones_a
+        sphere_b[2] = sphere_ref[:, 2:3].astype(jnp.bfloat16) * ones_a
+        jdata[...] = jnp.ones_like(jdata)
+        group = 8
+
+        def kgroup(g, occ):
+            rows = jdata[pl.ds(g * group, group), :]
+            xk = rows[:, 0:1]; yk = rows[:, 1:2]; zk = rows[:, 2:3]
+            rk = rows[:, 3:4]; gk = rows[:, 4:5]
+            vxg = xi - xk; vyg = yi - yk; vzg = zi - zk
+            v2g = vxg*vxg + vyg*vyg + vzg*vzg
+            limg = (rk*rk - v2g - r2i) * inv2ri
+            limg = jnp.where((gidi == gk) | (gk == 0.0), -1e30, limg)
+            limg16 = limg.astype(jnp.bfloat16)
+            vx16 = vxg.astype(jnp.bfloat16)
+            vy16 = vyg.astype(jnp.bfloat16)
+            vz16 = vzg.astype(jnp.bfloat16)
+
+            def do(occ):
+                for r in range(group):
+                    dots = (sphere_b[0]*vx16[r:r+1, :]
+                            + (sphere_b[1]*vy16[r:r+1, :]
+                               + sphere_b[2]*vz16[r:r+1, :]))
+                    occ = jnp.maximum(occ, limg16[r:r+1, :] - dots)
+                return occ
+
+            if not skip:
+                return do(occ)
+            reach = reffi + rk
+            hit = jnp.min(v2g - reach*reach) < 0.0
+            return jax.lax.cond(hit, do, lambda o: o, occ)
+
+        occ = jax.lax.fori_loop(
+            0, NJ // group, kgroup,
+            jnp.full((P, a), -1e30, dtype=jnp.bfloat16))
+        out_ref[...] = jnp.sum(occ.astype(jnp.float32), axis=0,
+                               keepdims=True)
+    return kernel
+
+
+def run_bf16(name, skip):
+    m = T * A
+    sphere = np.random.default_rng(0).normal(size=(P, 128)).astype(np.float32)
+    planes = np.random.default_rng(1).normal(size=(8, m)).astype(np.float32)
+    fn = pl.pallas_call(
+        make_bf16_kernel(skip),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((P, 128), lambda i: (0, 0)),
+            pl.BlockSpec((8, A), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, A), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, P, A), jnp.bfloat16),
+            pltpu.VMEM((NJ, 8), jnp.float32),
+        ],
+    )
+    jfn = jax.jit(lambda s, p: fn(s, p))
+    t0 = time.time(); out = np.asarray(jfn(sphere, planes)); c = time.time()-t0
+    times = []
+    for _ in range(3):
+        t0 = time.time(); out = np.asarray(jfn(sphere, planes)); times.append(time.time()-t0)
+    per = min(times) / (T * NJ)
+    print(f"{name:14s} compile {c:6.1f}s warm {min(times)*1000:7.1f}ms -> {per*1e9:6.0f} ns/j-atom ({per*940e6:.0f} cyc)", flush=True)
+
+
+def make_mxu_dots_kernel(precision, skip):
+    """Per-j dots as a [P,8]x[8,A] MXU matmul (3 live rows), VPU does only
+    sub+max.  MXU and VPU issue in parallel, so steady state should be
+    max(matmul, 2 vector ops) instead of 7 vector ops."""
+    prec = getattr(jax.lax.Precision, precision)
+
+    def kernel(sphere_ref, planes_i_ref, out_ref, jdata):
+        a = A
+        xi = planes_i_ref[0:1, :]
+        yi = planes_i_ref[1:2, :]
+        zi = planes_i_ref[2:3, :]
+        reffi = planes_i_ref[3:4, :]
+        gidi = planes_i_ref[4:5, :]
+        r2i = reffi * reffi
+        inv2ri = 0.5 / jnp.maximum(reffi, 1e-6)
+        col8 = jax.lax.broadcasted_iota(jnp.int32, (P, 8), 1)
+        s8 = jnp.where(col8 < 3, sphere_ref[:, 0:8], 0.0)  # [P, 8]
+        jdata[...] = jnp.ones_like(jdata)
+        group = 8
+
+        def kgroup(g, occ):
+            rows = jdata[pl.ds(g * group, group), :]
+            xk = rows[:, 0:1]; yk = rows[:, 1:2]; zk = rows[:, 2:3]
+            rk = rows[:, 3:4]; gk = rows[:, 4:5]
+            vxg = xi - xk; vyg = yi - yk; vzg = zi - zk
+            v2g = vxg*vxg + vyg*vyg + vzg*vzg
+            limg = (rk*rk - v2g - r2i) * inv2ri
+            limg = jnp.where((gidi == gk) | (gk == 0.0), -1e30, limg)
+
+            def do(occ):
+                for r in range(group):
+                    vg = jnp.concatenate(
+                        [vxg[r:r+1, :], vyg[r:r+1, :], vzg[r:r+1, :],
+                         jnp.zeros((5, a), jnp.float32)], axis=0)
+                    dots = jax.lax.dot_general(
+                        s8, vg, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )
+                    occ = jnp.maximum(occ, limg[r:r+1, :] - dots)
+                return occ
+
+            if not skip:
+                return do(occ)
+            reach = reffi + rk
+            hit = jnp.min(v2g - reach*reach) < 0.0
+            return jax.lax.cond(hit, do, lambda o: o, occ)
+
+        occ = jax.lax.fori_loop(0, NJ // group, kgroup,
+                                jnp.full((P, a), -1e30))
+        out_ref[...] = jnp.sum(occ, axis=0, keepdims=True)
+    return kernel
+
+
+def run_mxu(name, precision, skip):
+    m = T * A
+    sphere = np.random.default_rng(0).normal(size=(P, 128)).astype(np.float32)
+    planes = np.random.default_rng(1).normal(size=(8, m)).astype(np.float32)
+    fn = pl.pallas_call(
+        make_mxu_dots_kernel(precision, skip),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((P, 128), lambda i: (0, 0)),
+            pl.BlockSpec((8, A), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, A), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NJ, 8), jnp.float32),
+        ],
+    )
+    jfn = jax.jit(lambda s, p: fn(s, p))
+    t0 = time.time(); out = np.asarray(jfn(sphere, planes)); c = time.time()-t0
+    times = []
+    for _ in range(3):
+        t0 = time.time(); out = np.asarray(jfn(sphere, planes)); times.append(time.time()-t0)
+    per = min(times) / (T * NJ)
+    print(f"{name:16s} compile {c:6.1f}s warm {min(times)*1000:7.1f}ms -> {per*1e9:6.0f} ns/j-atom ({per*940e6:.0f} cyc)", flush=True)
+
+
 if __name__ == "__main__":
     import sys as _sys
     which = _sys.argv[1] if len(_sys.argv) > 1 else "v3"
-    if which == "v2":
+    if which == "hoist":
+        run_v2("g8_ref", False, False)
+        run_v2("g8_hoist", False, False, hoist=True)
+        run_v2("g8_hoist_skip", False, True, hoist=True)
+    elif which == "mxu":
+        run_mxu("mxu_dots_hi", "HIGHEST", False)
+        run_mxu("mxu_dots_def", "DEFAULT", False)
+        run_mxu("mxu_dots_hi_skip", "HIGHEST", True)
+    elif which == "bf16":
+        run_v2("g8_f32_ref", False, False)
+        run_bf16("g8_bf16", False)
+        run_bf16("g8_bf16_skip", True)
+    elif which == "v2":
         run_v2("g8", False, False)
         run_v2("g8_fma", True, False)
         run_v2("g8_fma_skip", True, True)

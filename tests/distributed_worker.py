@@ -1,0 +1,58 @@
+"""Subprocess worker for the multi-process distributed batch test.
+
+Usage: python distributed_worker.py <coord_addr> <num_procs> <proc_id>
+       <input_dir> <output_dir> <report_json>
+
+Each worker initializes jax.distributed on the CPU backend, processes its
+file shard via process_directory_distributed, and writes the GlobalReport
+as JSON.  All workers must produce the SAME global report (that is the
+collective correctness check).
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    coord, nprocs, pid, input_dir, output_dir, report_path = sys.argv[1:7]
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(nprocs),
+        process_id=int(pid),
+    )
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from rustsasa_tpu.api import SASAOptions
+    from rustsasa_tpu.levels import Level
+    from rustsasa_tpu.parallel.distributed import process_directory_distributed
+
+    report = process_directory_distributed(
+        input_dir,
+        output_dir,
+        SASAOptions(level=Level.RESIDUE),
+        "json",
+        progress=False,
+    )
+    with open(report_path, "w") as f:
+        json.dump(
+            {
+                "n_files": report.n_files,
+                "n_ok": report.n_ok,
+                "n_errors": report.n_errors,
+                "total_area": report.total_area,
+                "process_index": jax.process_index(),
+                "process_count": jax.process_count(),
+            },
+            f,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
