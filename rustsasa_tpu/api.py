@@ -95,6 +95,14 @@ class SASAOptions:
 
     def process(self, structure: Structure) -> SASAResult:
         """Compute SASA at the configured level (reference: options.rs:606-618)."""
+        return self.process_with_selection(structure)[0]
+
+    def process_with_selection(
+        self, structure: Structure
+    ) -> tuple[SASAResult, AtomSelection]:
+        """process() plus the AtomSelection used - callers that write
+        results back into a structure (b-factor column) need the selection
+        to map filtered atom results onto the full atom table."""
         sel = self.build_selection(structure)
         atom_sasa = calculate_sasa_internal(
             sel.coords,
@@ -103,4 +111,4 @@ class SASAOptions:
             probe_radius=self.probe_radius,
             n_points=self.n_points,
         )
-        return aggregate(sel, atom_sasa, self.level)
+        return aggregate(sel, atom_sasa, self.level), sel

@@ -72,7 +72,7 @@ class _Progress:
         sys.stderr.flush()
 
 
-def serialize_result(structure, result, fmt: str) -> str:
+def serialize_result(structure, result, fmt: str, selection=None) -> str:
     from .io.cif import write_cif
     from .io.pdb import write_pdb
 
@@ -81,9 +81,13 @@ def serialize_result(structure, result, fmt: str) -> str:
     if fmt == "xml":
         return sasa_result_to_xml(result)
     if fmt == "pdb":
-        return write_pdb(structure, sasa_result_to_bfactors(structure, result))
+        return write_pdb(
+            structure, sasa_result_to_bfactors(structure, result, selection)
+        )
     if fmt == "cif":
-        return write_cif(structure, sasa_result_to_bfactors(structure, result))
+        return write_cif(
+            structure, sasa_result_to_bfactors(structure, result, selection)
+        )
     raise ValueError(f"unknown output format: {fmt}")
 
 
@@ -205,7 +209,9 @@ def process_directory(
                 payload = fast_selection_xml(sel, atom_sasa, options.level)
             else:
                 result = aggregate(sel, atom_sasa, options.level)
-                payload = serialize_result(structure, result, output_format)
+                payload = serialize_result(
+                    structure, result, output_format, selection=sel
+                )
             with open(out_path, "w", encoding="utf-8") as f:
                 f.write(payload)
             return None

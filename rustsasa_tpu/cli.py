@@ -177,8 +177,8 @@ def run(args: argparse.Namespace) -> int:
     opts = _make_options(args)
     try:
         structure = read_structure(args.input)
-        result = opts.process(structure)
-        payload = serialize_result(structure, result, fmt)
+        result, sel = opts.process_with_selection(structure)
+        payload = serialize_result(structure, result, fmt, selection=sel)
     except CLIError:
         raise
     except Exception as e:  # noqa: BLE001 - typed exit below

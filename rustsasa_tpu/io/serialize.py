@@ -119,21 +119,34 @@ def sasa_result_to_xml(result: SASAResult) -> str:
 
 
 def sasa_result_to_bfactors(
-    structure: Structure, result: SASAResult
+    structure: Structure, result: SASAResult, selection=None
 ) -> np.ndarray:
     """Compute the replacement B-factor column for write-back (io.rs:20-64).
 
     Returns an [N] array over ALL atoms of the structure in table order.
+    At atom level, `selection` (an AtomSelection) maps the filtered result
+    vector back onto the full structure; excluded atoms (H/HETATM/alt-loc)
+    are written as 0.0, matching the excluded-residue-0.0 semantics of the
+    residue level.  (The reference indexes the full atom list positionally
+    and would panic on a filtered result, io.rs:25-29 - deliberate
+    improvement, not a parity break.)
     """
     t = structure.atoms
     bf = np.array(t.bfactor, dtype=np.float32, copy=True)
 
     if result.level is Level.ATOM:
+        if selection is not None:
+            bf[:] = 0.0
+            bf[selection.atom_indices] = np.asarray(
+                result.atoms, dtype=np.float32
+            )
+            return bf
         order = list(structure.iter_hierarchy_atom_indices())
         if len(result.atoms) < len(order):
             raise SerializationError(
                 f"atom result length {len(result.atoms)} < structure atom "
-                f"count {len(order)} (excluded atoms cannot be written back)"
+                f"count {len(order)} (excluded atoms cannot be written "
+                f"back); pass the selection to map filtered results"
             )
         for pos, i in enumerate(order):
             bf[i] = result.atoms[pos]

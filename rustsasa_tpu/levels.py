@@ -49,10 +49,6 @@ class ElementMissingError(ValueError):
     """Atom lacks an element symbol (reference: options.rs:468-469)."""
 
 
-class AtomMapError(KeyError):
-    """Failed to map atoms back to a level element (reference: options.rs:486-487)."""
-
-
 def serialize_chain_id(chain_id: str) -> int:
     """Letters -> concatenated alphabet positions (reference: utils.rs:24-33).
 

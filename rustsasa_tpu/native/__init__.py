@@ -232,6 +232,105 @@ def pipe_library():
 _LEVEL_CODE = {"atom": 0, "residue": 1, "chain": 2, "protein": 3}
 _FMT_CODE = {"json": 0, "xml": 1}
 
+_pack_ready = False
+_pack_lock = threading.Lock()
+
+
+def _setup_pack(lib) -> None:
+    FloatP = ctypes.POINTER(ctypes.c_float)
+    IntP = ctypes.POINTER(ctypes.c_int32)
+    lib.fastpack.argtypes = [
+        ctypes.c_int32,                    # n_structs
+        ctypes.POINTER(FloatP),            # coords
+        ctypes.POINTER(FloatP),            # radii
+        ctypes.POINTER(IntP),              # gids
+        IntP,                              # ns
+        ctypes.c_float,                    # probe
+        ctypes.c_int64,                    # m_total
+        FloatP,                            # planes5 out
+        ctypes.POINTER(ctypes.c_uint16),   # jlist out
+        IntP,                              # inv out
+        ctypes.POINTER(ctypes.c_int64),    # pos out
+    ]
+    lib.fastpack.restype = ctypes.c_int32
+
+
+def fastpack(structures, probe: float):
+    """Native chunk packing for the fused kernel, or None if unavailable.
+
+    Same contract as ops.fused_kernel.pack_structures: returns
+    (planes [5, M] f32, jlist [T, 128] u16, offsets, failed) where
+    offsets[i] = (slot, n, inv) or None for failed (overflowed) inputs.
+    """
+    global _pack_ready
+    lib = load_library()
+    if lib is None:
+        return None
+    if not _pack_ready:
+        with _pack_lock:
+            if not _pack_ready:
+                if not hasattr(lib, "fastpack"):
+                    return None
+                _setup_pack(lib)
+                _pack_ready = True
+
+    n_structs = len(structures)
+    ns = np.array([s[0].shape[0] for s in structures], dtype=np.int32)
+    tiles = (ns + 127) // 128
+    total_tiles = int(tiles.sum())
+    if total_tiles > 65535:
+        raise ValueError(
+            f"chunk too large for u16 tile ids: {total_tiles} tiles"
+        )
+    m = total_tiles * 128
+    planes = np.zeros((5, m), dtype=np.float32)
+    jlist = np.zeros((total_tiles, 128), dtype=np.uint16)
+    inv = np.empty(int(ns.sum()), dtype=np.int32)
+    pos = np.empty(n_structs, dtype=np.int64)
+
+    FloatP = ctypes.POINTER(ctypes.c_float)
+    IntP = ctypes.POINTER(ctypes.c_int32)
+    coords_arrs = [
+        np.ascontiguousarray(s[0], dtype=np.float32) for s in structures
+    ]
+    radii_arrs = [
+        np.ascontiguousarray(s[1], dtype=np.float32) for s in structures
+    ]
+    gids_arrs = [
+        np.ascontiguousarray(s[2], dtype=np.int32) for s in structures
+    ]
+    coords_p = (FloatP * n_structs)(
+        *[a.ctypes.data_as(FloatP) for a in coords_arrs]
+    )
+    radii_p = (FloatP * n_structs)(
+        *[a.ctypes.data_as(FloatP) for a in radii_arrs]
+    )
+    gids_p = (IntP * n_structs)(
+        *[a.ctypes.data_as(IntP) for a in gids_arrs]
+    )
+
+    lib.fastpack(
+        n_structs, coords_p, radii_p, gids_p,
+        ns.ctypes.data_as(IntP), ctypes.c_float(probe), m,
+        planes.ctypes.data_as(FloatP),
+        jlist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        inv.ctypes.data_as(IntP),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+
+    offsets = []
+    failed: list[int] = []
+    inv_off = 0
+    for s in range(n_structs):
+        n = int(ns[s])
+        if pos[s] < 0:
+            offsets.append(None)
+            failed.append(s)
+        else:
+            offsets.append((int(pos[s]), n, inv[inv_off:inv_off + n]))
+        inv_off += n
+    return planes, jlist, offsets, failed
+
 
 class NativeFallback(Exception):
     """Native path declined this input; use the Python path."""

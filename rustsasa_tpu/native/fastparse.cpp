@@ -1107,3 +1107,171 @@ int fastpipe_emit(FPResult* r, SelResult* s, const float* atom_sasa,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// fastpack: host-side packing for the fused TPU kernel.
+//
+// Native port of ops/fused_kernel.pack_structures (see its docstring for
+// the layout contract): per structure, center coordinates, Morton-sort,
+// fill the 5 transfer planes, build per-tile AABBs and the [nt x nt]
+// tile-pair culling, and emit nearest-first j-lists.  Semantics are
+// bit-compatible with the numpy implementation (tested in
+// tests/test_native_pipe.py) so either can pack any chunk.
+// ---------------------------------------------------------------------------
+
+static inline uint32_t morton_spread(uint32_t x) {
+  x = (x | (x << 16)) & 0x030000FFu;
+  x = (x | (x << 8)) & 0x0300F00Fu;
+  x = (x | (x << 4)) & 0x030C30C3u;
+  x = (x | (x << 2)) & 0x09249249u;
+  return x;
+}
+
+static const int kAtomTile = 128;
+static const int kJListRows = 128;
+static const int kJListCap = kJListRows - 1;
+
+// Pack one structure into its slot range.  Returns false on j-list
+// overflow (caller zeroes the slots and marks the structure failed).
+static bool pack_one(const float* coords, const float* radii,
+                     const int32_t* gids, int n, float probe,
+                     int64_t pos, int tile0, int64_t m_total,
+                     float* planes5, uint16_t* jlist, int32_t* inv) {
+  int nt = (n + kAtomTile - 1) / kAtomTile;
+  // Center (float64 mean, like numpy mean(dtype=float64)).
+  double cx = 0, cy = 0, cz = 0;
+  for (int i = 0; i < n; i++) {
+    cx += coords[3 * i];
+    cy += coords[3 * i + 1];
+    cz += coords[3 * i + 2];
+  }
+  float mx = (float)(cx / n), my = (float)(cy / n), mz = (float)(cz / n);
+
+  // Morton codes on quantized centered coords.
+  std::vector<float> c(3 * (size_t)n);
+  float qmin[3] = {1e30f, 1e30f, 1e30f};
+  for (int i = 0; i < n; i++) {
+    c[3 * i] = coords[3 * i] - mx;
+    c[3 * i + 1] = coords[3 * i + 1] - my;
+    c[3 * i + 2] = coords[3 * i + 2] - mz;
+    for (int d = 0; d < 3; d++) qmin[d] = std::min(qmin[d], c[3 * i + d]);
+  }
+  float qmax = 0.0f;
+  for (int i = 0; i < n; i++)
+    for (int d = 0; d < 3; d++)
+      qmax = std::max(qmax, c[3 * i + d] - qmin[d]);
+  double scale = 1023.0 / std::max((double)qmax, 1e-6);
+  std::vector<uint32_t> code((size_t)n);
+  for (int i = 0; i < n; i++) {
+    uint32_t q[3];
+    for (int d = 0; d < 3; d++) {
+      float qf = c[3 * i + d] - qmin[d];
+      uint32_t v = (uint32_t)((double)qf * scale);
+      q[d] = v > 1023u ? 1023u : v;
+    }
+    code[i] = morton_spread(q[0]) | (morton_spread(q[1]) << 1) |
+              (morton_spread(q[2]) << 2);
+  }
+  std::vector<int32_t> order((size_t)n);
+  for (int i = 0; i < n; i++) order[i] = i;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int32_t a, int32_t b) { return code[a] < code[b]; });
+  for (int k = 0; k < n; k++) inv[order[k]] = k;
+
+  // Fill transfer planes (row-major [5, M]).
+  float* px = planes5 + 0 * m_total + pos;
+  float* py = planes5 + 1 * m_total + pos;
+  float* pz = planes5 + 2 * m_total + pos;
+  float* pr = planes5 + 3 * m_total + pos;
+  float* pg = planes5 + 4 * m_total + pos;
+  for (int k = 0; k < n; k++) {
+    int i = order[k];
+    px[k] = c[3 * i];
+    py[k] = c[3 * i + 1];
+    pz[k] = c[3 * i + 2];
+    pr[k] = radii[i] + probe;
+    pg[k] = (float)((double)gids[i] + 1.0);
+  }
+
+  // Per-tile AABBs + max reach over real atoms.
+  std::vector<float> tmin(3 * (size_t)nt, 3e4f), tmax(3 * (size_t)nt, -3e4f);
+  std::vector<float> tmaxr((size_t)nt, 0.0f);
+  for (int k = 0; k < n; k++) {
+    int t = k / kAtomTile;
+    float v[3] = {px[k], py[k], pz[k]};
+    for (int d = 0; d < 3; d++) {
+      tmin[3 * t + d] = std::min(tmin[3 * t + d], v[d]);
+      tmax[3 * t + d] = std::max(tmax[3 * t + d], v[d]);
+    }
+    tmaxr[t] = std::max(tmaxr[t], pr[k]);
+  }
+
+  // [nt x nt] AABB separation culling; nearest-first per row.
+  std::vector<std::pair<float, int>> row;
+  row.reserve((size_t)nt);
+  for (int ti = 0; ti < nt; ti++) {
+    row.clear();
+    for (int tj = 0; tj < nt; tj++) {
+      float sep2 = 0.0f;
+      for (int d = 0; d < 3; d++) {
+        float g1 = tmin[3 * ti + d] - tmax[3 * tj + d];
+        float g2 = tmin[3 * tj + d] - tmax[3 * ti + d];
+        float g = std::max(std::max(g1, g2), 0.0f);
+        sep2 += g * g;
+      }
+      float reach = tmaxr[ti] + tmaxr[tj];
+      if (sep2 <= reach * reach) row.emplace_back(sep2, tj);
+    }
+    if ((int)row.size() > kJListCap) return false;
+    std::stable_sort(row.begin(), row.end(),
+                     [](const std::pair<float, int>& a,
+                        const std::pair<float, int>& b) {
+                       return a.first < b.first;
+                     });
+    uint16_t* jrow = jlist + (size_t)(tile0 + ti) * kJListRows;
+    jrow[0] = (uint16_t)row.size();
+    for (size_t s = 0; s < row.size(); s++)
+      jrow[1 + s] = (uint16_t)(row[s].second + tile0);
+  }
+  return true;
+}
+
+extern "C" {
+
+// Returns the number of failed structures (j-list overflow); failed
+// structures get pos_out[i] = -1, zeroed planes and zeroed j-lists.
+// planes5 (f32[5*M], zeroed), jlist (u16[(M/128)*128], zeroed) and
+// inv (i32[sum ns]) are caller-allocated; M = sum(ceil(n/128))*128.
+int fastpack(int n_structs, const float** coords, const float** radii,
+             const int32_t** gids, const int32_t* ns, float probe,
+             int64_t m_total, float* planes5, uint16_t* jlist,
+             int32_t* inv, int64_t* pos_out) {
+  int n_failed = 0;
+  int64_t pos = 0;
+  int64_t inv_off = 0;
+  int tile0 = 0;
+  for (int s = 0; s < n_structs; s++) {
+    int n = ns[s];
+    int nt = (n + kAtomTile - 1) / kAtomTile;
+    bool ok = pack_one(coords[s], radii[s], gids[s], n, probe, pos, tile0,
+                       m_total, planes5 + 0, jlist, inv + inv_off);
+    if (!ok) {
+      // Zero this structure's slots and j-list rows; caller reroutes it.
+      for (int p = 0; p < 5; p++)
+        memset(planes5 + (size_t)p * m_total + pos, 0,
+               sizeof(float) * (size_t)nt * kAtomTile);
+      memset(jlist + (size_t)tile0 * kJListRows, 0,
+             sizeof(uint16_t) * (size_t)nt * kJListRows);
+      pos_out[s] = -1;
+      n_failed++;
+    } else {
+      pos_out[s] = pos;
+    }
+    pos += (int64_t)nt * kAtomTile;
+    tile0 += nt;
+    inv_off += n;
+  }
+  return n_failed;
+}
+
+}  // extern "C"

@@ -483,14 +483,23 @@ def _compute_fused(
                 jlist,
                 ((0, (m_pad - m) // fused_kernel.ATOM_TILE), (0, 0)),
             )
-        dev = devices[n_flushed % len(devices)]
+        if len(devices) == 1:
+            # Single device: let jit bundle the transfers into the one
+            # dispatch (explicit device_puts cost extra round trips
+            # through the high-latency host link).
+            args = (planes, jlist, sphere128)
+        else:
+            dev = devices[n_flushed % len(devices)]
+            if dev not in sphere_dev:
+                sphere_dev[dev] = jax.device_put(sphere128, dev)
+            args = (
+                jax.device_put(planes, dev),
+                jax.device_put(jlist, dev),
+                sphere_dev[dev],
+            )
         n_flushed += 1
-        if dev not in sphere_dev:
-            sphere_dev[dev] = jax.device_put(sphere128, dev)
         out = fused_kernel.fused_sasa(
-            jax.device_put(planes, dev),
-            jax.device_put(jlist, dev),
-            sphere_dev[dev],
+            *args,
             n_points=n_points, out_dtype=out_dtype, interpret=interpret,
         )
         pending.append((chunk, offsets, out))

@@ -272,7 +272,20 @@ def pack_structures(
     `failed` lists input indices whose tiling overflowed JLIST_CAP
     (callers route those through the list-based path); their offsets are
     None and their slots are zeroed.
+
+    Dispatches to the native C++ packer (native/fastparse.cpp fastpack,
+    same layout contract, parity-tested) when the library is available;
+    this numpy implementation is the fallback and the executable spec.
     """
+    from ..native import fastpack
+
+    out = fastpack(structures, float(probe))
+    if out is not None:
+        return out
+    return _pack_structures_numpy(structures, probe, n_points)
+
+
+def _pack_structures_numpy(structures, probe, n_points):
     tiles_per = [-(-s[0].shape[0] // ATOM_TILE) for s in structures]
     total_tiles = sum(tiles_per)
     if total_tiles > 65535:

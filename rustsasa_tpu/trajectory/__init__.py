@@ -14,7 +14,7 @@ import numpy as np
 
 from ..api import SASAOptions
 from ..io.read import read_structure
-from ..levels import Level, aggregate
+from ..levels import Level, _residue_sums
 from ..ops.engine import BatchedSasaEngine, SasaParams
 from .dcd import DCDHeader, iter_frame_blocks, read_dcd, write_dcd
 
@@ -43,17 +43,29 @@ def compute_trajectory_sasa(
     dcd_path: str,
     options: SASAOptions | None = None,
     *,
-    block: int = 16,
+    block: int | None = None,
 ) -> TrajectoryResult:
     """Per-frame SASA over a DCD trajectory.
 
     topology_path: PDB/mmCIF supplying atom identities and radii; the DCD
     must have the same atom count and order (the MDAnalysis convention the
     reference's mdsasa-bolt follows).
+
+    Frame blocks pipeline: block i+1 is read from disk and packed while
+    block i's device queue drains (enqueue/collect split), so wall time is
+    max(device, ingest) - the same overlap as directory batch mode.
+    block defaults to however many frames fill one fused-kernel chunk
+    (atom-slot budget / padded frame size) so no launch pads to a larger
+    shape bucket than needed.
     """
+    from ..ops.engine import _FUSED_ATOM_BUDGET
+
     options = options or SASAOptions(level=Level.RESIDUE)
     structure = read_structure(topology_path)
     sel = options.build_selection(structure)
+    if block is None:
+        slots = max(128, -(-sel.coords.shape[0] // 128) * 128)
+        block = max(1, min(1024, _FUSED_ATOM_BUDGET // slots))
 
     engine = BatchedSasaEngine(
         SasaParams(
@@ -64,6 +76,17 @@ def compute_trajectory_sasa(
     totals: list[float] = []
     residue_rows: list[np.ndarray] = []
     n_atoms_traj = None
+
+    def consume(pending):
+        for atom_sasa in pending.collect():
+            totals.append(float(atom_sasa.sum()))
+            if options.level is Level.RESIDUE:
+                # Vectorized per-frame residue sums (no per-frame Python
+                # result objects - a 10k-frame GPCRmd run would otherwise
+                # churn millions of ResidueResult allocations).
+                residue_rows.append(_residue_sums(sel, atom_sasa))
+
+    in_flight = None
     for _, _, coords in iter_frame_blocks(dcd_path, block=block):
         n_atoms_traj = coords.shape[1]
         if n_atoms_traj != structure.n_atoms():
@@ -79,13 +102,12 @@ def compute_trajectory_sasa(
             )
             for i in range(coords.shape[0])
         ]
-        for i, atom_sasa in enumerate(engine.compute(frames)):
-            totals.append(float(atom_sasa.sum()))
-            if options.level is Level.RESIDUE:
-                res = aggregate(sel, atom_sasa, Level.RESIDUE).residues
-                residue_rows.append(
-                    np.array([r.value for r in res], dtype=np.float32)
-                )
+        pending = engine.enqueue(frames)
+        if in_flight is not None:
+            consume(in_flight)
+        in_flight = pending
+    if in_flight is not None:
+        consume(in_flight)
 
     residue_values = (
         np.stack(residue_rows) if residue_rows else None

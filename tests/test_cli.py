@@ -196,3 +196,31 @@ def test_trajectory_cli(tmp_path):
     assert len(data["totals"]) == 2
     assert data["totals"][0] == pytest.approx(data["totals"][1], rel=1e-4)
     assert data["residue_names"] == ["ALA"]
+
+
+@pytest.mark.parametrize("fmt", ["xml", "pdb", "cif"])
+def test_directory_batch_format_matrix(fmt, reference_data_dir, tmp_path):
+    """Directory mode for every non-json output format (reference:
+    tests/integration.rs directory coverage)."""
+    out_dir = tmp_path / f"outputs_{fmt}"
+    assert (
+        run_cli(
+            reference_data_dir / "pdbs", out_dir, "--format", fmt,
+            "--output-depth", "atom" if fmt in ("pdb", "cif") else "residue",
+        )
+        == 0
+    )
+    produced = sorted(os.listdir(out_dir))
+    assert produced == [
+        f"151L_H3.{fmt}", f"bad_seqadv_1A06.{fmt}", f"example.{fmt}"
+    ]
+    example_out = (out_dir / f"example.{fmt}").read_text()
+    if fmt == "xml":
+        assert example_out.startswith("<")
+        assert "Residue" in example_out
+    else:
+        # b-factor write-back: re-parse and check SASA values landed.
+        reparsed = read_structure(str(out_dir / f"example.{fmt}"))
+        bf = reparsed.atoms.bfactor
+        assert bf.shape[0] > 2000
+        assert float(bf.max()) > 10.0  # SASA values, not original b-factors

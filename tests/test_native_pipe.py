@@ -166,3 +166,53 @@ def test_native_missing_file_error():
             include_hydrogens=False, include_hetatms=False,
             read_radii_from_occupancy=False, allow_vdw_fallback=False,
         )
+
+
+def _pack_parity_case(structures):
+    import numpy as np
+
+    from rustsasa_tpu.native import fastpack
+    from rustsasa_tpu.ops.fused_kernel import _pack_structures_numpy
+
+    a = fastpack(structures, 1.4)
+    if a is None:
+        pytest.skip("native library unavailable")
+    b = _pack_structures_numpy(structures, 1.4, 100)
+    np.testing.assert_array_equal(a[0], b[0])  # planes
+    np.testing.assert_array_equal(a[1], b[1])  # jlist
+    assert a[3] == b[3]  # failed indices
+    for oa, ob in zip(a[2], b[2]):
+        assert (oa is None) == (ob is None)
+        if oa is not None:
+            assert oa[0] == ob[0] and oa[1] == ob[1]
+            np.testing.assert_array_equal(oa[2], ob[2])
+
+
+def test_fastpack_matches_numpy_mixed_sizes():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    structures = []
+    for n in (3, 100, 128, 700, 2622):
+        coords = (rng.uniform(0, 40, (n, 3)) + 100).astype(np.float32)
+        radii = rng.uniform(1.4, 1.9, n).astype(np.float32)
+        structures.append((coords, radii, np.arange(n, dtype=np.int32)))
+    _pack_parity_case(structures)
+
+
+def test_fastpack_matches_numpy_on_overflow():
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    # >127 mutually-in-reach tiles: every tile pair culls active, so the
+    # j-list overflows and BOTH packers must reroute this structure.
+    n = 130 * 128
+    coords = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+    radii = np.full(n, 1.8, np.float32)
+    big = (coords, radii, np.arange(n, dtype=np.int32))
+    small = (
+        (rng.uniform(0, 30, (64, 3)) + 50).astype(np.float32),
+        np.full(64, 1.6, np.float32),
+        np.arange(64, dtype=np.int32),
+    )
+    _pack_parity_case([small, big, small])
