@@ -186,7 +186,9 @@ def process_directory(
             return (handle.coords, handle.radii, handle.gids)
         return (handle[1].coords, handle[1].radii, handle[1].group_ids)
 
-    # Aggregate + serialize + write on host worker threads.
+    # Aggregate + serialize + write on host worker threads.  Returns
+    # (error | None, emitted_atom_area): the area of a file counts toward
+    # report.total_area only when its output was actually written.
     def emit(args):
         (path, handle), atom_sasa = args
         base = os.path.basename(path)
@@ -195,12 +197,13 @@ def process_directory(
         stem = os.path.splitext(base)[0]
         out_path = os.path.join(output_dir, f"{stem}.{output_format}")
         try:
+            area = float(atom_sasa.sum())
             if isinstance(handle, NativeSelection):
                 try:
                     handle.emit(atom_sasa, level_str, output_format, out_path)
                 finally:
                     handle.close()
-                return None
+                return None, area
             structure, sel = handle
             if output_format == "json":
                 # Vectorized hot path - no per-residue Python objects.
@@ -214,9 +217,9 @@ def process_directory(
                 )
             with open(out_path, "w", encoding="utf-8") as f:
                 f.write(payload)
-            return None
+            return None, area
         except Exception as e:  # noqa: BLE001 - per-file isolation
-            return f"Error processing {os.path.basename(path)}: {e}"
+            return f"Error processing {os.path.basename(path)}: {e}", 0.0
 
     # Waves bound peak memory on huge corpora and keep the device fed with
     # large bucketed batches (the TPU analog of the reference's
@@ -228,9 +231,30 @@ def process_directory(
     waves = [
         files[lo:lo + wave_size] for lo in range(0, len(files), wave_size)
     ]
+
+    emit_futures: list = []
+
+    def drain_emits(only_done: bool) -> None:
+        """Fold finished emits into the report (and tick the bar LIVE,
+        reference: indicatif progress during the run, main.rs:366-374).
+        With only_done=True completed futures are consumed opportunistically
+        between waves; the final call waits for the rest."""
+        remaining = []
+        for f in emit_futures:
+            if only_done and not f.done():
+                remaining.append(f)
+                continue
+            err, area = f.result()
+            if err is None:
+                report.n_ok += 1
+                report.total_area += area
+            else:
+                report.errors.append(err)
+            bar.tick()
+        emit_futures[:] = remaining
+
     with ThreadPoolExecutor(max_workers=workers) as pool:
         next_load = [pool.submit(load, p) for p in waves[0]] if waves else []
-        emit_futures = []
         in_flight = None  # (good, pending-handle) of the previous wave
         for w in range(len(waves)):
             loaded = [f.result() for f in next_load]
@@ -246,29 +270,20 @@ def process_directory(
             if in_flight is not None:
                 prev_good, prev_pending = in_flight
                 sasas = prev_pending.collect()
-                report.total_area += float(
-                    sum(float(s.sum()) for s in sasas)
-                )
                 emit_futures.extend(
                     pool.submit(emit, args)
                     for args in zip(prev_good, sasas)
                 )
             in_flight = (good, pending)
+            drain_emits(only_done=True)
         if in_flight is not None:
             prev_good, prev_pending = in_flight
             sasas = prev_pending.collect()
-            report.total_area += float(sum(float(s.sum()) for s in sasas))
             emit_futures.extend(
                 pool.submit(emit, args)
                 for args in zip(prev_good, sasas)
             )
-        for f in emit_futures:
-            err = f.result()
-            if err is None:
-                report.n_ok += 1
-            else:
-                report.errors.append(err)
-            bar.tick()
+        drain_emits(only_done=False)
 
     report.elapsed_s = time.time() - t0
     return report

@@ -12,6 +12,7 @@
 // here as native code under Python threads.
 //
 // Build: g++ -O3 -march=native -shared -fPIC fastparse.cpp -o libfastparse.so -lz
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -1138,14 +1139,19 @@ static bool pack_one(const float* coords, const float* radii,
                      int64_t pos, int tile0, int64_t m_total,
                      float* planes5, uint16_t* jlist, int32_t* inv) {
   int nt = (n + kAtomTile - 1) / kAtomTile;
-  // Center (float64 mean, like numpy mean(dtype=float64)).
+  // Center: f64 mean rounded to a 1/256 A grid.  The rounding erases the
+  // summation-order difference between this sequential loop and numpy's
+  // pairwise f64 sum, so both packers center bit-identically (the exact
+  // center is arbitrary; only host/device agreement matters).
   double cx = 0, cy = 0, cz = 0;
   for (int i = 0; i < n; i++) {
     cx += coords[3 * i];
     cy += coords[3 * i + 1];
     cz += coords[3 * i + 2];
   }
-  float mx = (float)(cx / n), my = (float)(cy / n), mz = (float)(cz / n);
+  float mx = (float)(std::nearbyint(cx / n * 256.0) / 256.0);
+  float my = (float)(std::nearbyint(cy / n * 256.0) / 256.0);
+  float mz = (float)(std::nearbyint(cz / n * 256.0) / 256.0);
 
   // Morton codes on quantized centered coords.
   std::vector<float> c(3 * (size_t)n);
@@ -1160,13 +1166,15 @@ static bool pack_one(const float* coords, const float* radii,
   for (int i = 0; i < n; i++)
     for (int d = 0; d < 3; d++)
       qmax = std::max(qmax, c[3 * i + d] - qmin[d]);
-  double scale = 1023.0 / std::max((double)qmax, 1e-6);
+  // Quantize in float32, matching the numpy packer exactly (NEP 50:
+  // f32 array * python float multiplies in f32).
+  float scale = (float)(1023.0 / std::max((double)qmax, 1e-6));
   std::vector<uint32_t> code((size_t)n);
   for (int i = 0; i < n; i++) {
     uint32_t q[3];
     for (int d = 0; d < 3; d++) {
       float qf = c[3 * i + d] - qmin[d];
-      uint32_t v = (uint32_t)((double)qf * scale);
+      uint32_t v = (uint32_t)(qf * scale);
       q[d] = v > 1023u ? 1023u : v;
     }
     code[i] = morton_spread(q[0]) | (morton_spread(q[1]) << 1) |
@@ -1219,7 +1227,9 @@ static bool pack_one(const float* coords, const float* radii,
         float g = std::max(std::max(g1, g2), 0.0f);
         sep2 += g * g;
       }
-      float reach = tmaxr[ti] + tmaxr[tj];
+      // 0.08 A slack keeps the cull conservative under u16 coordinate
+      // quantization (ops/fused_kernel.quantize_packed / CULL_SLACK).
+      float reach = tmaxr[ti] + tmaxr[tj] + 0.08f;
       if (sep2 <= reach * reach) row.emplace_back(sep2, tj);
     }
     if ((int)row.size() > kJListCap) return false;

@@ -415,11 +415,34 @@ def calculate_sasa_internal(
 _FUSED_ATOM_BUDGET = 2_000_000  # atom-slots per fused kernel launch
 
 # Atom-slot buckets for fused chunks: every chunk pads to one of these so
-# the whole corpus reuses a handful of compiled shapes.  Deliberately few:
-# Mosaic compiles of the fused kernel are expensive (minutes via the
-# remote compile service) and padding tiles cost almost nothing (their
-# j-ranges are empty).
-_FUSED_M_BUCKETS = [8192, 131072, 2097152]
+# the whole corpus reuses a handful of compiled shapes.  The host link is
+# the narrowest resource (~86 MB/s, scripts/r3_split.py), so buckets are
+# spaced ~4x to cap padding-slot transfer waste at <= 4x on the tail
+# chunk only; each bucket's Mosaic compile is a one-time cost amortized
+# by the persistent cache.
+_FUSED_M_BUCKETS = [2048, 8192, 32768, 131072, 524288, 1048576, 2097152]
+
+# Device-resident probe spheres, keyed by n_points: the [P,128] f32 block
+# is constant per configuration, so it crosses the host link once per
+# process instead of once per chunk.
+_SPHERE_DEV: dict = {}
+
+
+def _sphere128_device(n_points: int):
+    ent = _SPHERE_DEV.get(n_points)
+    if ent is None:
+        packed = _sphere_packed(n_points)
+        sphere128 = np.zeros((packed.shape[0], 128), dtype=np.float32)
+        sphere128[:, 0:4] = packed
+        ent = jax.device_put(sphere128)
+        _SPHERE_DEV[n_points] = ent
+    return ent
+
+
+def _unique_gids(gid: np.ndarray) -> bool:
+    """Dense factorized gids are unique per atom iff max == n-1."""
+    n = gid.shape[0]
+    return n == 0 or int(gid.max()) == n - 1
 
 
 def _compute_fused(
@@ -446,11 +469,16 @@ def _compute_fused(
     sphere_dev = {}
     n_flushed = 0
 
+    def sphere_for(dev):
+        if dev not in sphere_dev:
+            sphere_dev[dev] = jax.device_put(sphere128, dev)
+        return sphere_dev[dev]
+
     results: list[np.ndarray | None] = [None] * len(structures)
     order = sorted(
         range(len(structures)), key=lambda i: -structures[i][0].shape[0]
     )
-    pending = []  # (chunk, offsets, device_out)
+    pending = []  # (chunk, offsets, device_out, kind)
 
     fallback: list[int] = []
 
@@ -483,26 +511,37 @@ def _compute_fused(
                 jlist,
                 ((0, (m_pad - m) // fused_kernel.ATOM_TILE), (0, 0)),
             )
-        if len(devices) == 1:
-            # Single device: let jit bundle the transfers into the one
-            # dispatch (explicit device_puts cost extra round trips
-            # through the high-latency host link).
-            args = (planes, jlist, sphere128)
-        else:
-            dev = devices[n_flushed % len(devices)]
-            if dev not in sphere_dev:
-                sphere_dev[dev] = jax.device_put(sphere128, dev)
-            args = (
-                jax.device_put(planes, dev),
-                jax.device_put(jlist, dev),
-                sphere_dev[dev],
-            )
+        dev = devices[n_flushed % len(devices)]
         n_flushed += 1
-        out = fused_kernel.fused_sasa(
-            *args,
-            n_points=n_points, out_dtype=out_dtype, interpret=interpret,
-        )
-        pending.append((chunk, offsets, out))
+        # Quantized 8B/slot wire format whenever gids are unique per atom
+        # (slot index then serves as the occlusion-exclusion id) and every
+        # structure's extent fits the u16 grid; exotic chunks use the f32
+        # planes.  Counts come back as u8; SASA is reconstructed exactly
+        # on host in collect().
+        q = None
+        if all(_unique_gids(t[2]) for t in triples):
+            spans = [(off[0], off[1]) for off in offsets if off is not None]
+            q = fused_kernel.quantize_packed(planes, spans)
+        if q is not None:
+            planes4, tparams = q
+            if len(devices) > 1:
+                planes4 = jax.device_put(planes4, dev)
+                tparams = jax.device_put(tparams, dev)
+                jlist = jax.device_put(jlist, dev)
+            out = fused_kernel.fused_sasa_q16(
+                planes4, tparams, jlist, sphere_for(dev),
+                n_points=n_points, interpret=interpret,
+            )
+            pending.append((chunk, offsets, out, "q16"))
+        else:
+            if len(devices) > 1:
+                planes = jax.device_put(planes, dev)
+                jlist = jax.device_put(jlist, dev)
+            out = fused_kernel.fused_sasa(
+                planes, jlist, sphere_for(dev),
+                n_points=n_points, out_dtype=out_dtype, interpret=interpret,
+            )
+            pending.append((chunk, offsets, out, "f32"))
 
     chunk: list[int] = []
     budget = 0
@@ -536,13 +575,23 @@ class _FusedPending:
         self.n_points = n_points
 
     def collect(self) -> list[np.ndarray]:
-        for chunk, offsets, out in self.pending:
+        area_const = np.float32(4.0 * np.pi / self.n_points)
+        for chunk, offsets, out, kind in self.pending:
             out_np = np.asarray(out)
             for i, off in zip(chunk, offsets):
                 if off is None:
                     continue  # rerouted to fallback
                 pos, n, inv = off
-                self.results[i] = out_np[pos:pos + n][inv].astype(np.float32)
+                vals = out_np[pos:pos + n][inv]
+                if kind == "q16":
+                    # counts -> SASA on host: exact f32, and the counts
+                    # readback is 2-4x narrower than an area readback.
+                    r_eff = self.structures[i][1].astype(np.float32) \
+                        + np.float32(self.probe)
+                    vals = vals.astype(np.float32) * (
+                        area_const * r_eff * r_eff
+                    )
+                self.results[i] = vals.astype(np.float32)
 
         if self.fallback:
             eng = BatchedSasaEngine(

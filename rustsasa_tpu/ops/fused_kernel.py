@@ -60,16 +60,22 @@ class JListOverflow(ValueError):
     """An i-tile has more than JLIST_CAP in-reach j-tiles."""
 
 
-def _fused_kernel(
+# Per-j-atom skip inside each 8-group: gate every unrolled [P,A] margin
+# update on that j-atom actually reaching SOME i-atom of the tile.  On the
+# proteome corpus only ~64% of j-atoms in executed groups reach the tile
+# (727 executed vs 464 in-reach per i-tile, scripts/r3_kernel_variants.py),
+# so the scalar cond per row saves ~90 cycles 36% of the time.
+_PER_J_SKIP = True
+
+
+def _fused_count_kernel(
     sphere_ref,  # [P, 128] f32: cols 0..2 sx,sy,sz; col 3 point_valid
     planes_i_ref,  # [N_PLANES, A] f32: this i-tile's atom planes
     jlist_ref,  # [8, JLIST_ROWS] i32 SMEM window: row i%8 = count + ids
-    area_ref,  # [1, A] f32
     planes_t_hbm_ref,  # [M, 128] f32 in ANY/HBM: atom-major planes (lane-padded)
-    out_ref,  # [1, A] f32
+    out_ref,  # [1, A] f32: accessible-point counts
     jbuf,  # VMEM scratch [2*A, 128]: double-buffered j-tiles
     sphere_b,  # VMEM scratch [3, P, A]: pre-broadcast sphere planes
-    occ_ref,  # VMEM scratch [P, A]: occlusion-margin accumulator
     sems,  # DMA semaphores [2]
 ):
     a = planes_i_ref.shape[1]
@@ -134,47 +140,96 @@ def _fused_kernel(
             v2g = vxg * vxg + vyg * vyg + vzg * vzg
             limg = (rk * rk - v2g - r2i) * inv2ri
             limg = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, limg)
+            reach = reffi + rk  # [8, A]
+            hitmat = v2g - reach * reach
+            hitrow = jnp.min(hitmat, axis=1) if _PER_J_SKIP else None
 
             def do(occ):
                 for r in range(group):
-                    dots = (
-                        sphere_b[0] * vxg[r:r + 1, :]
-                        + (
-                            sphere_b[1] * vyg[r:r + 1, :]
-                            + sphere_b[2] * vzg[r:r + 1, :]
+                    def upd(o):
+                        dots = (
+                            sphere_b[0] * vxg[r:r + 1, :]
+                            + (
+                                sphere_b[1] * vyg[r:r + 1, :]
+                                + sphere_b[2] * vzg[r:r + 1, :]
+                            )
                         )
-                    )
-                    occ = jnp.maximum(occ, limg[r:r + 1, :] - dots)
+                        return jnp.maximum(o, limg[r:r + 1, :] - dots)
+
+                    if _PER_J_SKIP:
+                        occ = jax.lax.cond(
+                            hitrow[r] < 0.0, upd, lambda o: o, occ
+                        )
+                    else:
+                        occ = upd(occ)
                 return occ
 
             # Group-level early-out: when no atom of this 8-group can reach
             # any i-atom, skip the unrolled [P,A] block (check ~8 cycles vs
             # ~100 saved; Morton-coherent groups skip often).
-            reach = reffi + rk  # [8, A]
-            hit = jnp.min(v2g - reach * reach) < 0.0
+            hit = jnp.min(hitmat) < 0.0
             return jax.lax.cond(hit, do, lambda o: o, occ)
 
         return jax.lax.fori_loop(0, a // group, kgroup, occ)
 
     occ0 = jnp.full((sphere_ref.shape[0], a), _NEG_BIG)
     occ = jax.lax.fori_loop(0, cnt, process, occ0)
-    occ_ref[...] = occ
 
     # Occluded iff the accumulated margin is strictly positive
     # (matches the reference's `dot < limit` strict comparison, lib.rs:146).
     pv = sphere_ref[:, 3:4] * jnp.ones((1, a), dtype=jnp.float32)
-    accessible = jnp.sum(
-        jnp.where((occ_ref[...] <= 0.0) & (pv > 0.0), 1.0, 0.0),
+    out_ref[...] = jnp.sum(
+        jnp.where((occ <= 0.0) & (pv > 0.0), 1.0, 0.0),
         axis=0,
         keepdims=True,
     )
-    out_ref[...] = accessible * area_ref[...]
 
 
 # Rows of the host->device transfer format: x, y, z, r_eff, gid(+1).
 # The kernel works on N_PLANES(=8)-row blocks; the 3 spare rows are
 # zero-padded ON DEVICE so they never ride the host link.
 N_XFER_PLANES = 5
+
+
+def _counts_call(planes, jlist, sphere128, *, interpret):
+    """Shared pallas_call: 8-row planes [8, M] f32 -> counts [1, M] f32."""
+    m = planes.shape[1]
+    jlist = jlist.astype(jnp.int32)
+    # Atom-major copy for j-tile DMAs, lane-padded to 128 (HBM slice
+    # shapes must be 128-aligned in the minor dimension).
+    planes_t = jnp.zeros((m, 128), dtype=jnp.float32)
+    planes_t = planes_t.at[:, 0:N_PLANES].set(planes.T)
+    t = m // ATOM_TILE
+    p = sphere128.shape[0]
+    t_pad = ((t + 7) // 8) * 8
+    if jlist.shape[0] != t_pad:
+        jlist = jnp.pad(jlist, ((0, t_pad - jlist.shape[0]), (0, 0)))
+
+    return pl.pallas_call(
+        _fused_count_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((p, 128), lambda i: (0, 0)),
+            pl.BlockSpec((N_PLANES, ATOM_TILE), lambda i: (0, i)),
+            # J-lists ride in SMEM (8-tile windows): dynamic scalar
+            # indexing on both dims is an SMEM capability.
+            pl.BlockSpec(
+                (8, JLIST_ROWS), lambda i: (i // 8, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # full planes, DMA'd
+        ],
+        out_specs=pl.BlockSpec((1, ATOM_TILE), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+        scratch_shapes=[
+            # VMEM j-tile buffers: scalars are read with dynamic-sublane
+            # indices (legal in Mosaic; SMEM DMAs measured far slower).
+            pltpu.VMEM((2 * ATOM_TILE, 128), jnp.float32),
+            pltpu.VMEM((3, p, ATOM_TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(sphere128, planes, jlist, planes_t)
 
 
 @functools.partial(
@@ -189,6 +244,7 @@ def fused_sasa(
     out_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """Legacy f32-planes entry (fallback path: non-unique gids etc.)."""
     m = planes5.shape[1]
     # Everything derivable from the 5 transfer planes is computed on
     # device: the high-latency host link moves 20B/atom-slot, not 44.
@@ -199,48 +255,94 @@ def fused_sasa(
         planes5[4] > 0.0,
         np.float32(4.0 * np.pi / n_points) * r_eff * r_eff,
         0.0,
-    )[None, :]
-    jlist = jlist.astype(jnp.int32)
-    # Atom-major copy for j-tile DMAs, lane-padded to 128 (HBM slice
-    # shapes must be 128-aligned in the minor dimension).
-    planes_t = jnp.zeros((m, 128), dtype=jnp.float32)
-    planes_t = planes_t.at[:, 0:N_PLANES].set(planes.T)
-    t = m // ATOM_TILE
-    p = sphere128.shape[0]
-    t_pad = ((t + 7) // 8) * 8
-    if jlist.shape[0] != t_pad:
-        jlist = jnp.pad(jlist, ((0, t_pad - jlist.shape[0]), (0, 0)))
+    )
+    counts = _counts_call(planes, jlist, sphere128, interpret=interpret)
+    return (counts.reshape(m) * area).astype(out_dtype)
 
-    out = pl.pallas_call(
-        _fused_kernel,
-        grid=(t,),
-        in_specs=[
-            pl.BlockSpec((p, 128), lambda i: (0, 0)),
-            pl.BlockSpec((N_PLANES, ATOM_TILE), lambda i: (0, i)),
-            # J-lists ride in SMEM (8-tile windows): dynamic scalar
-            # indexing on both dims is an SMEM capability.
-            pl.BlockSpec(
-                (8, JLIST_ROWS), lambda i: (i // 8, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec((1, ATOM_TILE), lambda i: (0, i)),
-            pl.BlockSpec(memory_space=pl.ANY),  # full planes, DMA'd
-        ],
-        out_specs=pl.BlockSpec((1, ATOM_TILE), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
-        scratch_shapes=[
-            # VMEM j-tile buffers: scalars are read with dynamic-sublane
-            # indices (legal in Mosaic; SMEM DMAs measured far slower).
-            pltpu.VMEM((2 * ATOM_TILE, 128), jnp.float32),
-            pltpu.VMEM((3, p, ATOM_TILE), jnp.float32),
-            pltpu.VMEM((p, ATOM_TILE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(sphere128, planes, jlist, area, planes_t)
-    # Cast on device: the readback direction of the host link is the
-    # narrowest resource; f16 halves it (batch path; API path keeps f32).
-    return out.reshape(m).astype(out_dtype)
+
+# Fixed radius dequant scale: r_eff = qr * 2^-13 (exact in f32); covers
+# r_eff < 8 A at 1.2e-4 A resolution.  qr == 0 marks padding slots.
+R_QUANT = 8192.0
+# Conservative reach slack added during tile-pair culling so the cull
+# stays valid for coordinates quantized at up to ~1300 A structure extent
+# (u16 step <= 0.02 A; see quantize_packed).  Larger structures use the
+# legacy f32 path.
+CULL_SLACK = 0.08
+MAX_Q_EXTENT = 1300.0
+
+
+@functools.partial(jax.jit, static_argnames=("n_points", "interpret"))
+def fused_sasa_q16(
+    planes4: jnp.ndarray,  # [4, M] u16: qx, qy, qz, qr
+    tparams: jnp.ndarray,  # [T, 4] f32: ox, oy, oz, cscale per tile
+    jlist: jnp.ndarray,  # [T, JLIST_ROWS] u16/i32 tile ids
+    sphere128: jnp.ndarray,  # [P, 128] f32
+    *,
+    n_points: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Quantized-wire entry: 8B/atom-slot over the host link, occlusion
+    COUNTS back (u8, or u16 when n_points > 255).
+
+    The host link is this deployment's narrowest resource (~86 MB/s
+    sustained, scripts/r3_split.py); coordinates ride as u16 against a
+    per-structure box (step <= extent/65535, <= 0.002 A for typical
+    proteins) and radii as u16 * 2^-13.  Gids are synthesized on device
+    as the slot index - valid whenever the structure's gids are unique
+    per atom (the packer verifies; others use the legacy path).  SASA is
+    reconstructed on host as counts * 4*pi*r_eff^2/n, which is EXACT
+    f32 - unlike the old f16 area readback.
+    """
+    m = planes4.shape[1]
+    q = planes4.astype(jnp.float32)  # [4, M]
+    par = jnp.repeat(tparams, ATOM_TILE, axis=0)  # [M, 4]
+    planes = jnp.zeros((N_PLANES, m), dtype=jnp.float32)
+    planes = planes.at[0].set(q[0] * par[:, 3] + par[:, 0])
+    planes = planes.at[1].set(q[1] * par[:, 3] + par[:, 1])
+    planes = planes.at[2].set(q[2] * par[:, 3] + par[:, 2])
+    planes = planes.at[3].set(q[3] * np.float32(1.0 / R_QUANT))
+    slot_gid = jnp.arange(m, dtype=jnp.float32) + 1.0
+    planes = planes.at[4].set(jnp.where(q[3] > 0.0, slot_gid, 0.0))
+    counts = _counts_call(planes, jlist, sphere128, interpret=interpret)
+    out_dtype = jnp.uint8 if n_points <= 255 else jnp.uint16
+    return counts.reshape(m).astype(out_dtype)
+
+
+def quantize_packed(planes5: np.ndarray, spans: list) -> tuple:
+    """Quantize f32 transfer planes -> (planes4 u16 [4,M], tparams [T,4]).
+
+    spans: list of (pos, n) slot ranges, one per packed structure (padding
+    slots between spans get qr=0).  Returns None if any structure's extent
+    exceeds MAX_Q_EXTENT (caller falls back to the f32 path).
+
+    The packers center coordinates per structure, so the box is symmetric
+    and small; one uniform scale per structure keeps the grid isotropic.
+    """
+    m = planes5.shape[1]
+    t = m // ATOM_TILE
+    planes4 = np.zeros((4, m), dtype=np.uint16)
+    tparams = np.zeros((t, 4), dtype=np.float32)
+    tparams[:, 3] = 1.0  # neutral scale for unused tiles
+    for pos, n in spans:
+        if n == 0:
+            continue
+        sl = slice(pos, pos + n)
+        c = planes5[0:3, sl]
+        cmin = c.min(axis=1)
+        extent = float((c.max(axis=1) - cmin).max())
+        if extent > MAX_Q_EXTENT:
+            return None
+        scale = np.float32(max(extent, 1e-6) / 65535.0)
+        q = np.rint((c - cmin[:, None]) / scale)
+        planes4[0:3, sl] = np.clip(q, 0, 65535).astype(np.uint16)
+        qr = np.rint(planes5[3, sl] * R_QUANT)
+        if float(qr.max(initial=0.0)) > 65535.0:
+            return None  # r_eff >= 8 A: exotic probe/radius, f32 path
+        planes4[3, sl] = np.maximum(qr, 1.0).astype(np.uint16)
+        t0, t1 = pos // ATOM_TILE, -(-(pos + n) // ATOM_TILE)
+        tparams[t0:t1, 0:3] = cmin
+        tparams[t0:t1, 3] = scale
+    return planes4, tparams
 
 
 def _morton_codes(coords: np.ndarray) -> np.ndarray:
@@ -305,9 +407,13 @@ def _pack_structures_numpy(structures, probe, n_points):
         nt = tiles_per[s_i]
         # Center per structure: |c| ~ 30 instead of ~300 keeps every f32
         # intermediate (|v|^2, dot chains) well away from cancellation.
-        coords = coords - coords.mean(axis=0, dtype=np.float64).astype(
-            np.float32
-        )
+        # Rounding the f64 mean to a 1/256 A grid makes the center - and
+        # hence the whole packing - bit-identical to the native C++
+        # packer, whose sequential f64 sum orders differently.
+        center = np.round(
+            coords.mean(axis=0, dtype=np.float64) * 256.0
+        ) / 256.0
+        coords = coords - center.astype(np.float32)
         order = np.argsort(_morton_codes(coords), kind="stable")
         inv = np.empty(n, dtype=np.int64)
         inv[order] = np.arange(n)
@@ -341,7 +447,10 @@ def _pack_structures_numpy(structures, probe, n_points):
             0.0,
         )
         sep2 = (gap * gap).sum(axis=2)
-        reach = tmaxr[:, None] + tmaxr[None, :]
+        # CULL_SLACK keeps the cull conservative under u16 coordinate
+        # quantization (quantize_packed) - the kernel sees coordinates
+        # moved by up to ~0.01 A relative to the f32 values culled here.
+        reach = tmaxr[:, None] + tmaxr[None, :] + np.float32(CULL_SLACK)
         active = sep2 <= reach * reach  # [nt_i, nt_j]
         counts = active.sum(axis=1)
         if counts.max(initial=0) > JLIST_CAP:

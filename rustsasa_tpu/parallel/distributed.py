@@ -79,39 +79,51 @@ def allreduce_metrics(
     Uses a tiny jitted psum over the global device set - the only
     cross-host communication in the batch pipeline.
     """
-    local = np.array(
-        [n_files, n_ok, n_errors, total_area], dtype=np.float32
-    )
+    # Counts ride as int32 (exact to 2^31 files; f32 lost exactness at
+    # 2^24 on a path aimed at proteome-scale corpora).  total_area rides
+    # as a two-float Dekker split (hi = f32(x), lo = f32(x - hi)) psum'd
+    # componentwise and recombined in f64 on host, keeping ~14 significant
+    # digits without requiring jax_enable_x64.
+    hi = np.float32(total_area)
+    lo = np.float32(total_area - float(hi))
+    counts = np.array([n_files, n_ok, n_errors], dtype=np.int32)
+    area2 = np.array([hi, lo], dtype=np.float32)
     if jax.process_count() == 1:
-        summed = local
+        counts_sum, area_sum = counts, area2.astype(np.float64)
     else:
         from jax.sharding import Mesh, PartitionSpec as P
 
         devs = np.array(jax.devices())
         mesh = Mesh(devs, ("d",))
 
-        def reduce_fn(x):
-            return jax.lax.psum(x, "d")
+        def reduce_fn(c, a):
+            return jax.lax.psum(c, "d"), jax.lax.psum(a, "d")
 
         fn = jax.jit(
             jax.shard_map(
-                reduce_fn, mesh=mesh, in_specs=P("d", None), out_specs=P()
+                reduce_fn, mesh=mesh,
+                in_specs=(P("d", None), P("d", None)), out_specs=(P(), P()),
             )
         )
-        # Each local device contributes local/ndev_local so the global sum
-        # equals the per-host sum over hosts.
-        per_dev = np.tile(
-            local / jax.local_device_count(), (jax.local_device_count(), 1)
-        )
-        arrs = jax.make_array_from_process_local_data(
-            jax.sharding.NamedSharding(mesh, P("d", None)), per_dev
-        )
-        summed = np.asarray(fn(arrs)).reshape(-1)
+        # Only device 0 of each host contributes its process-local values;
+        # the others contribute zeros, so the global psum equals the sum
+        # over hosts with no division round-off.
+        nl = jax.local_device_count()
+        per_dev_c = np.zeros((nl, 3), dtype=np.int32)
+        per_dev_c[0] = counts
+        per_dev_a = np.zeros((nl, 2), dtype=np.float32)
+        per_dev_a[0] = area2
+        sh = jax.sharding.NamedSharding(mesh, P("d", None))
+        arr_c = jax.make_array_from_process_local_data(sh, per_dev_c)
+        arr_a = jax.make_array_from_process_local_data(sh, per_dev_a)
+        c_out, a_out = fn(arr_c, arr_a)
+        counts_sum = np.asarray(c_out).reshape(-1)
+        area_sum = np.asarray(a_out).reshape(-1).astype(np.float64)
     return GlobalReport(
-        n_files=int(round(float(summed[0]))),
-        n_ok=int(round(float(summed[1]))),
-        n_errors=int(round(float(summed[2]))),
-        total_area=float(summed[3]),
+        n_files=int(counts_sum[0]),
+        n_ok=int(counts_sum[1]),
+        n_errors=int(counts_sum[2]),
+        total_area=float(area_sum[0] + area_sum[1]),
     )
 
 

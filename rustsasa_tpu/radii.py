@@ -149,24 +149,20 @@ def resolve_radii(
     RadiusMissingError / VanDerWaalsMissingError exactly where the
     reference does (reference: options.rs:83-103).
     """
-    n = len(resnames)
+    # Delegates to the grouped resolver the selection pipeline uses
+    # (levels._resolve_radii_grouped) so there is exactly ONE radius
+    # precedence implementation; this wrapper only builds the pair key.
     if read_radii_from_occupancy:
         return np.asarray(occupancy, dtype=np.float32)
+    from .levels import _resolve_radii_grouped
 
-    out = np.empty(n, dtype=np.float32)
-    # Cache lookups: the same (residue, atom) pair repeats constantly.
-    cache: dict[tuple[str, str], float] = {}
-    for i in range(n):
-        key = (resnames[i], atom_names[i])
-        r = cache.get(key)
-        if r is None:
-            r = get_radius(key[0], key[1], radii_config)
-            if r is None:
-                if not allow_vdw_fallback:
-                    raise RadiusMissingError(key[0], key[1], str(elements[i]))
-                r = get_vdw_radius(str(elements[i]))
-                if r is None:
-                    raise VanDerWaalsMissingError(str(elements[i]))
-            cache[key] = r
-        out[i] = r
-    return out
+    rn = np.asarray(resnames, dtype=str)
+    an = np.asarray(atom_names, dtype=str)
+    pair_key = np.char.add(np.char.add(rn, "\x00"), an)
+    return _resolve_radii_grouped(
+        pair_key, rn, an, np.asarray(elements, dtype=str),
+        np.asarray(occupancy),
+        radii_config=radii_config,
+        allow_vdw_fallback=allow_vdw_fallback,
+        read_radii_from_occupancy=False,
+    )
