@@ -248,7 +248,7 @@ def _setup_pack(lib) -> None:
         ctypes.c_float,                    # probe
         ctypes.c_int64,                    # m_total
         FloatP,                            # planes5 out
-        ctypes.POINTER(ctypes.c_uint16),   # jlist out
+        ctypes.POINTER(ctypes.c_uint32),   # jlist out
         IntP,                              # inv out
         ctypes.POINTER(ctypes.c_int64),    # pos out
     ]
@@ -259,7 +259,8 @@ def fastpack(structures, probe: float):
     """Native chunk packing for the fused kernel, or None if unavailable.
 
     Same contract as ops.fused_kernel.pack_structures: returns
-    (planes [5, M] f32, jlist [T, 128] u16, offsets, failed) where
+    (planes [5, M] f32, jlist [T, 128] u32 (mask<<16)|id, offsets,
+    failed) where
     offsets[i] = (slot, n, inv) or None for failed (overflowed) inputs.
     """
     global _pack_ready
@@ -284,7 +285,7 @@ def fastpack(structures, probe: float):
         )
     m = total_tiles * 128
     planes = np.zeros((5, m), dtype=np.float32)
-    jlist = np.zeros((total_tiles, 128), dtype=np.uint16)
+    jlist = np.zeros((total_tiles, 128), dtype=np.uint32)
     inv = np.empty(int(ns.sum()), dtype=np.int32)
     pos = np.empty(n_structs, dtype=np.int64)
 
@@ -313,7 +314,7 @@ def fastpack(structures, probe: float):
         n_structs, coords_p, radii_p, gids_p,
         ns.ctypes.data_as(IntP), ctypes.c_float(probe), m,
         planes.ctypes.data_as(FloatP),
-        jlist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        jlist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         inv.ctypes.data_as(IntP),
         pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )

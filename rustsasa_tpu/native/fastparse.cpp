@@ -1131,13 +1131,17 @@ static inline uint32_t morton_spread(uint32_t x) {
 static const int kAtomTile = 128;
 static const int kJListRows = 128;
 static const int kJListCap = kJListRows - 1;
+static const int kJGroup = 8;
+static const int kGroupsPerTile = kAtomTile / kJGroup;
 
 // Pack one structure into its slot range.  Returns false on j-list
 // overflow (caller zeroes the slots and marks the structure failed).
+// jlist entries are u32: (group_mask << 16) | j_tile_id; col 0 = count
+// (see ops/fused_kernel.py for the full layout contract).
 static bool pack_one(const float* coords, const float* radii,
                      const int32_t* gids, int n, float probe,
                      int64_t pos, int tile0, int64_t m_total,
-                     float* planes5, uint16_t* jlist, int32_t* inv) {
+                     float* planes5, uint32_t* jlist, int32_t* inv) {
   int nt = (n + kAtomTile - 1) / kAtomTile;
   // Center: f64 mean rounded to a 1/256 A grid.  The rounding erases the
   // summation-order difference between this sequential loop and numpy's
@@ -1201,21 +1205,40 @@ static bool pack_one(const float* coords, const float* radii,
     pg[k] = (float)((double)gids[i] + 1.0);
   }
 
-  // Per-tile AABBs + max reach over real atoms.
-  std::vector<float> tmin(3 * (size_t)nt, 3e4f), tmax(3 * (size_t)nt, -3e4f);
-  std::vector<float> tmaxr((size_t)nt, 0.0f);
+  // Per-8-group AABBs + max reach over real atoms; tile AABBs reduce
+  // over their 16 groups.
+  int ng = nt * kGroupsPerTile;
+  std::vector<float> gmin(3 * (size_t)ng, 3e4f), gmax(3 * (size_t)ng, -3e4f);
+  std::vector<float> gmaxr((size_t)ng, 0.0f);
   for (int k = 0; k < n; k++) {
-    int t = k / kAtomTile;
+    int g = k / kJGroup;
     float v[3] = {px[k], py[k], pz[k]};
     for (int d = 0; d < 3; d++) {
-      tmin[3 * t + d] = std::min(tmin[3 * t + d], v[d]);
-      tmax[3 * t + d] = std::max(tmax[3 * t + d], v[d]);
+      gmin[3 * g + d] = std::min(gmin[3 * g + d], v[d]);
+      gmax[3 * g + d] = std::max(gmax[3 * g + d], v[d]);
     }
-    tmaxr[t] = std::max(tmaxr[t], pr[k]);
+    gmaxr[g] = std::max(gmaxr[g], pr[k]);
+  }
+  std::vector<float> tmin(3 * (size_t)nt, 3e4f), tmax(3 * (size_t)nt, -3e4f);
+  std::vector<float> tmaxr((size_t)nt, 0.0f);
+  for (int g = 0; g < ng; g++) {
+    int t = g / kGroupsPerTile;
+    for (int d = 0; d < 3; d++) {
+      tmin[3 * t + d] = std::min(tmin[3 * t + d], gmin[3 * g + d]);
+      tmax[3 * t + d] = std::max(tmax[3 * t + d], gmax[3 * g + d]);
+    }
+    tmaxr[t] = std::max(tmaxr[t], gmaxr[g]);
   }
 
-  // [nt x nt] AABB separation culling; nearest-first per row.
-  std::vector<std::pair<float, int>> row;
+  // [nt x nt] AABB separation culling with per-pair 16-bit group masks;
+  // nearest-first per row.  Pairs whose tile AABBs touch but no 8-atom
+  // group does are dropped entirely.
+  struct Entry {
+    float sep2;
+    int tj;
+    uint32_t mask;
+  };
+  std::vector<Entry> row;
   row.reserve((size_t)nt);
   for (int ti = 0; ti < nt; ti++) {
     row.clear();
@@ -1230,18 +1253,32 @@ static bool pack_one(const float* coords, const float* radii,
       // 0.08 A slack keeps the cull conservative under u16 coordinate
       // quantization (ops/fused_kernel.quantize_packed / CULL_SLACK).
       float reach = tmaxr[ti] + tmaxr[tj] + 0.08f;
-      if (sep2 <= reach * reach) row.emplace_back(sep2, tj);
+      if (sep2 > reach * reach) continue;
+      uint32_t mask = 0;
+      for (int g = 0; g < kGroupsPerTile; g++) {
+        int jg = tj * kGroupsPerTile + g;
+        float gs2 = 0.0f;
+        for (int d = 0; d < 3; d++) {
+          float g1 = tmin[3 * ti + d] - gmax[3 * jg + d];
+          float g2 = gmin[3 * jg + d] - tmax[3 * ti + d];
+          float gp = std::max(std::max(g1, g2), 0.0f);
+          gs2 += gp * gp;
+        }
+        float gr = tmaxr[ti] + gmaxr[jg] + 0.08f;
+        if (gs2 <= gr * gr) mask |= (1u << g);
+      }
+      if (mask != 0) row.push_back({sep2, tj, mask});
     }
     if ((int)row.size() > kJListCap) return false;
     std::stable_sort(row.begin(), row.end(),
-                     [](const std::pair<float, int>& a,
-                        const std::pair<float, int>& b) {
-                       return a.first < b.first;
+                     [](const Entry& a, const Entry& b) {
+                       return a.sep2 < b.sep2;
                      });
-    uint16_t* jrow = jlist + (size_t)(tile0 + ti) * kJListRows;
-    jrow[0] = (uint16_t)row.size();
+    uint32_t* jrow = jlist + (size_t)(tile0 + ti) * kJListRows;
+    jrow[0] = (uint32_t)row.size();
     for (size_t s = 0; s < row.size(); s++)
-      jrow[1 + s] = (uint16_t)(row[s].second + tile0);
+      jrow[1 + s] =
+          (row[s].mask << 16) | (uint32_t)(row[s].tj + tile0);
   }
   return true;
 }
@@ -1254,7 +1291,7 @@ extern "C" {
 // inv (i32[sum ns]) are caller-allocated; M = sum(ceil(n/128))*128.
 int fastpack(int n_structs, const float** coords, const float** radii,
              const int32_t** gids, const int32_t* ns, float probe,
-             int64_t m_total, float* planes5, uint16_t* jlist,
+             int64_t m_total, float* planes5, uint32_t* jlist,
              int32_t* inv, int64_t* pos_out) {
   int n_failed = 0;
   int64_t pos = 0;
@@ -1271,7 +1308,7 @@ int fastpack(int n_structs, const float** coords, const float** radii,
         memset(planes5 + (size_t)p * m_total + pos, 0,
                sizeof(float) * (size_t)nt * kAtomTile);
       memset(jlist + (size_t)tile0 * kJListRows, 0,
-             sizeof(uint16_t) * (size_t)nt * kJListRows);
+             sizeof(uint32_t) * (size_t)nt * kJListRows);
       pos_out[s] = -1;
       n_failed++;
     } else {

@@ -8,32 +8,38 @@ src/structures/spatial_grid.rs):
 
   * atoms are Morton-sorted per structure (host side) so spatial locality
     maps to tile locality;
-  * tile-pair culling happens ON THE HOST: for every 128-atom i-tile the
-    packer computes the list of j-tiles whose AABBs are within occlusion
+  * culling happens ON THE HOST at TWO granularities: for every 128-atom
+    i-tile the packer emits the j-tiles whose AABBs are within occlusion
     reach (the analog of the reference's half-shell cell iteration,
-    spatial_grid.rs:174-192).  The kernel itself is two straight-line
-    nested loops - no conditionals, no wasted in-kernel culling math;
-  * each active j-tile is DMA'd into VMEM and every j-atom updates the
+    spatial_grid.rs:174-192), and for each admitted pair a 16-bit MASK of
+    which 8-atom j-groups are in reach of the i-tile.  Each jlist entry is
+    a u32: (group_mask << 16) | j_tile_id;
+  * per admitted j-tile the kernel DMAs its planes into VMEM and runs a
+    BRANCHLESS scalar compaction of the mask into a tiny SMEM list of
+    admitted group indices (store-then-conditionally-advance - no
+    lax.cond anywhere: conds measured 50-80 cycles each on this Mosaic
+    backend, scripts/r3_kernel_variants.py, and a cond-based group
+    early-out made the kernel 20% SLOWER than straight-line streaming);
+  * the hot loop streams only admitted groups: every j-atom updates the
     [P points x A atoms] occlusion margin with exact f32 arithmetic:
     margin = (thr_j - |v|^2 - r_eff_i^2)/(2 r_eff_i) - dot(s_p, v),
     occluded iff margin > 0 for any neighbor.  The margin self-masks
     out-of-reach pairs (limit < -|v| whenever |v| > r_eff_i + r_j + probe)
-    so no per-pair cutoff test is needed - 5 [P, A] vector ops per j-atom;
+    so no per-pair cutoff test is needed - 7 [P, A] vector ops per j-atom,
+    retired ~4 vregs/cycle by the VPU's 4 ALUs;
   * double-buffered DMA overlaps the next j-tile fetch with compute.
 
-Measured dead-ends (scripts/kernel_experiments.py, TPU v5e): a max-plus
-reformulation via separable dots (dot(s, c_i - c_j) = SXI - SXJ on the
-MXU) costs MORE (140-180 vs ~90 cyc/j-atom executed) because the per-j
-lane-broadcast of SXJ[:, j] touches all 13 occlusion vregs; FMA reordering
-(limg - s0*vx - s1*vy - s2*vz) is 1.7x slower than the mul/add chain; a
-tile-level occlusion-saturation early exit never fires on proteome-scale
-inputs (128-atom Morton tiles almost always contain surface atoms) and
-costs ~6% in while_loop overhead.  Host tile culling is within ~1.4x of
-its geometric floor (15.8 in-reach j-tiles/i-tile measured vs ~11 minimum
-for 12A tiles at 6.6A reach).
+Measured dead-ends (scripts/kernel_experiments.py and
+scripts/r3_kernel_variants.py, TPU v5e): a max-plus reformulation via
+separable dots (dot(s, c_i - c_j) = SXI - SXJ on the MXU) costs MORE
+because the per-j lane-broadcast of SXJ[:, j] touches all occlusion
+vregs; FMA reordering is 1.7x slower than the mul/add chain; bfloat16
+margins are 17% SLOWER than f32 (the 4-ALU VPU does not double bf16
+throughput here) while costing accuracy; lax.cond-based group/atom
+early-outs all lose to branchless streaming plus host group masks.
 
 Everything after the per-structure packing runs in one pallas_call per
-chunk; HBM traffic is one 4KB read per active tile pair plus the output.
+chunk; HBM traffic is one 64KB read per active tile pair plus the output.
 """
 
 from __future__ import annotations
@@ -51,31 +57,29 @@ _NEG_BIG = np.float32(-1e30)
 
 # planes rows: x, y, z, r_eff, gid(+1, 0=padding), unused*3
 N_PLANES = 8
-# j-list column layout: row 0 = count, rows 1..count = j-tile ids.
+# j-list column layout (u32): col 0 = count, cols 1..count = entries
+# (group_mask << 16) | j_tile_id.  Mask bit g covers j-atoms
+# [8g, 8g+8) of that tile.
 JLIST_ROWS = 128
 JLIST_CAP = JLIST_ROWS - 1
+# j-atoms per masked group.
+J_GROUP = 8
+GROUPS_PER_TILE = ATOM_TILE // J_GROUP
 
 
 class JListOverflow(ValueError):
     """An i-tile has more than JLIST_CAP in-reach j-tiles."""
 
 
-# Per-j-atom skip inside each 8-group: gate every unrolled [P,A] margin
-# update on that j-atom actually reaching SOME i-atom of the tile.  On the
-# proteome corpus only ~64% of j-atoms in executed groups reach the tile
-# (727 executed vs 464 in-reach per i-tile, scripts/r3_kernel_variants.py),
-# so the scalar cond per row saves ~90 cycles 36% of the time.
-_PER_J_SKIP = True
-
-
 def _fused_count_kernel(
     sphere_ref,  # [P, 128] f32: cols 0..2 sx,sy,sz; col 3 point_valid
     planes_i_ref,  # [N_PLANES, A] f32: this i-tile's atom planes
-    jlist_ref,  # [8, JLIST_ROWS] i32 SMEM window: row i%8 = count + ids
+    jlist_ref,  # [8, JLIST_ROWS] i32 SMEM window: row i%8 = count + entries
     planes_t_hbm_ref,  # [M, 128] f32 in ANY/HBM: atom-major planes (lane-padded)
     out_ref,  # [1, A] f32: accessible-point counts
     jbuf,  # VMEM scratch [2*A, 128]: double-buffered j-tiles
     sphere_b,  # VMEM scratch [3, P, A]: pre-broadcast sphere planes
+    glist_ref,  # SMEM scratch [GROUPS_PER_TILE]: compacted group indices
     sems,  # DMA semaphores [2]
 ):
     a = planes_i_ref.shape[1]
@@ -100,7 +104,8 @@ def _fused_count_kernel(
     cnt = jlist_ref[jrow, 0]
 
     def start_dma(slot, idx):
-        j = jlist_ref[jrow, idx + 1]
+        entry = jlist_ref[jrow, idx + 1]
+        j = jax.lax.bitwise_and(entry, 0xFFFF)
         return pltpu.make_async_copy(
             planes_t_hbm_ref.at[pl.ds(j * a, a), :],
             jbuf.at[pl.ds(slot * a, a), :],
@@ -118,17 +123,29 @@ def _fused_count_kernel(
         def _():
             start_dma(1 - slot, idx + 1).start()
 
+        # Branchless compaction of the host-computed group mask into a
+        # tiny SMEM index list while the DMA is in flight: store the
+        # group index unconditionally, advance the cursor only when its
+        # mask bit is set.  Pure scalar-unit work, no lax.cond.
+        entry = jlist_ref[jrow, idx + 1]
+        mask = jax.lax.shift_right_logical(entry, 16)
+        pos = jnp.int32(0)
+        for g in range(GROUPS_PER_TILE):
+            glist_ref[pos] = jnp.int32(g)
+            pos = pos + jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(mask, g), 1
+            )
+
         start_dma(slot, idx).wait()
-
         base = slot * a
-        group = 8
 
-        def kgroup(g, occ):
+        def kgroup(k, occ):
+            g = glist_ref[k]
             # 8 j-atoms per iteration: ONE sublane-sliced load replaces 40
             # dynamic scalar reads (measured ~23 cycles each), and the
             # [1,A] prep chain + loop overhead amortize 8x.  The per-atom
             # [P,A] margin updates then unroll over static row slices.
-            rows = jbuf[pl.ds(base + g * group, group), :]  # [8, 128]
+            rows = jbuf[pl.ds(base + g * J_GROUP, J_GROUP), :]  # [8, 128]
             xk = rows[:, 0:1]
             yk = rows[:, 1:2]
             zk = rows[:, 2:3]
@@ -140,37 +157,18 @@ def _fused_count_kernel(
             v2g = vxg * vxg + vyg * vyg + vzg * vzg
             limg = (rk * rk - v2g - r2i) * inv2ri
             limg = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, limg)
-            reach = reffi + rk  # [8, A]
-            hitmat = v2g - reach * reach
-            hitrow = jnp.min(hitmat, axis=1) if _PER_J_SKIP else None
+            for r in range(J_GROUP):
+                dots = (
+                    sphere_b[0] * vxg[r:r + 1, :]
+                    + (
+                        sphere_b[1] * vyg[r:r + 1, :]
+                        + sphere_b[2] * vzg[r:r + 1, :]
+                    )
+                )
+                occ = jnp.maximum(occ, limg[r:r + 1, :] - dots)
+            return occ
 
-            def do(occ):
-                for r in range(group):
-                    def upd(o):
-                        dots = (
-                            sphere_b[0] * vxg[r:r + 1, :]
-                            + (
-                                sphere_b[1] * vyg[r:r + 1, :]
-                                + sphere_b[2] * vzg[r:r + 1, :]
-                            )
-                        )
-                        return jnp.maximum(o, limg[r:r + 1, :] - dots)
-
-                    if _PER_J_SKIP:
-                        occ = jax.lax.cond(
-                            hitrow[r] < 0.0, upd, lambda o: o, occ
-                        )
-                    else:
-                        occ = upd(occ)
-                return occ
-
-            # Group-level early-out: when no atom of this 8-group can reach
-            # any i-atom, skip the unrolled [P,A] block (check ~8 cycles vs
-            # ~100 saved; Morton-coherent groups skip often).
-            hit = jnp.min(hitmat) < 0.0
-            return jax.lax.cond(hit, do, lambda o: o, occ)
-
-        return jax.lax.fori_loop(0, a // group, kgroup, occ)
+        return jax.lax.fori_loop(0, pos, kgroup, occ)
 
     occ0 = jnp.full((sphere_ref.shape[0], a), _NEG_BIG)
     occ = jax.lax.fori_loop(0, cnt, process, occ0)
@@ -194,7 +192,12 @@ N_XFER_PLANES = 5
 def _counts_call(planes, jlist, sphere128, *, interpret):
     """Shared pallas_call: 8-row planes [8, M] f32 -> counts [1, M] f32."""
     m = planes.shape[1]
-    jlist = jlist.astype(jnp.int32)
+    if jlist.dtype == jnp.uint32:
+        # Bit-preserving: entries with group-mask bit 15 set would
+        # overflow a value cast; the kernel decodes with logical shifts.
+        jlist = jax.lax.bitcast_convert_type(jlist, jnp.int32)
+    else:
+        jlist = jlist.astype(jnp.int32)
     # Atom-major copy for j-tile DMAs, lane-padded to 128 (HBM slice
     # shapes must be 128-aligned in the minor dimension).
     planes_t = jnp.zeros((m, 128), dtype=jnp.float32)
@@ -226,6 +229,7 @@ def _counts_call(planes, jlist, sphere128, *, interpret):
             # indices (legal in Mosaic; SMEM DMAs measured far slower).
             pltpu.VMEM((2 * ATOM_TILE, 128), jnp.float32),
             pltpu.VMEM((3, p, ATOM_TILE), jnp.float32),
+            pltpu.SMEM((GROUPS_PER_TILE,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -237,7 +241,7 @@ def _counts_call(planes, jlist, sphere128, *, interpret):
 )
 def fused_sasa(
     planes5: jnp.ndarray,  # [N_XFER_PLANES, M] f32
-    jlist: jnp.ndarray,  # [T, JLIST_ROWS] u16/i32 tile ids
+    jlist: jnp.ndarray,  # [T, JLIST_ROWS] u32 (mask<<16)|tile_id
     sphere128: jnp.ndarray,  # [P, 128] f32
     *,
     n_points: int,
@@ -275,7 +279,7 @@ MAX_Q_EXTENT = 1300.0
 def fused_sasa_q16(
     planes4: jnp.ndarray,  # [4, M] u16: qx, qy, qz, qr
     tparams: jnp.ndarray,  # [T, 4] f32: ox, oy, oz, cscale per tile
-    jlist: jnp.ndarray,  # [T, JLIST_ROWS] u16/i32 tile ids
+    jlist: jnp.ndarray,  # [T, JLIST_ROWS] u32 (mask<<16)|tile_id
     sphere128: jnp.ndarray,  # [P, 128] f32
     *,
     n_points: int,
@@ -369,7 +373,8 @@ def pack_structures(
     """Host-side packing for the fused kernel.
 
     structures: list of (coords [n,3] f32, radii [n] f32, gids [n] i32).
-    Returns (planes [5, M], jlist [T, 128] u16, offsets, failed) where
+    Returns (planes [5, M], jlist [T, 128] u32 (mask<<16)|id, offsets,
+    failed) where
     offsets[i] = (start, n, perm_inverse) for unpacking results and
     `failed` lists input indices whose tiling overflowed JLIST_CAP
     (callers route those through the list-based path); their offsets are
@@ -396,7 +401,7 @@ def _pack_structures_numpy(structures, probe, n_points):
         )
     m = total_tiles * ATOM_TILE
     planes = np.zeros((N_XFER_PLANES, m), dtype=np.float32)
-    jlist = np.zeros((total_tiles, JLIST_ROWS), dtype=np.uint16)
+    jlist = np.zeros((total_tiles, JLIST_ROWS), dtype=np.uint32)
 
     offsets = []
     failed: list[int] = []
@@ -425,8 +430,10 @@ def _pack_structures_numpy(structures, probe, n_points):
         planes[3, pos:pos + n] = r_eff
         planes[4, pos:pos + n] = g
 
-        # Vectorized per-tile AABB + max reach; padding slots are neutral.
+        # Vectorized per-tile AND per-8-group AABBs + max reach; padding
+        # slots are neutral.
         slots = nt * ATOM_TILE
+        ng = nt * GROUPS_PER_TILE
         big = np.float32(3e4)
         cmin = np.full((slots, 3), big, dtype=np.float32)
         cmin[:n] = c
@@ -434,9 +441,12 @@ def _pack_structures_numpy(structures, probe, n_points):
         cmax[:n] = c
         rpad = np.zeros(slots, dtype=np.float32)
         rpad[:n] = r_eff
-        tmin = cmin.reshape(nt, ATOM_TILE, 3).min(axis=1)
-        tmax = cmax.reshape(nt, ATOM_TILE, 3).max(axis=1)
-        tmaxr = rpad.reshape(nt, ATOM_TILE).max(axis=1)
+        gmin = cmin.reshape(ng, J_GROUP, 3).min(axis=1)
+        gmax = cmax.reshape(ng, J_GROUP, 3).max(axis=1)
+        gmaxr = rpad.reshape(ng, J_GROUP).max(axis=1)
+        tmin = gmin.reshape(nt, GROUPS_PER_TILE, 3).min(axis=1)
+        tmax = gmax.reshape(nt, GROUPS_PER_TILE, 3).max(axis=1)
+        tmaxr = gmaxr.reshape(nt, GROUPS_PER_TILE).max(axis=1)
 
         # Host-side tile-pair culling: [nt, nt] AABB separation test.
         gap = np.maximum(
@@ -452,7 +462,36 @@ def _pack_structures_numpy(structures, probe, n_points):
         # moved by up to ~0.01 A relative to the f32 values culled here.
         reach = tmaxr[:, None] + tmaxr[None, :] + np.float32(CULL_SLACK)
         active = sep2 <= reach * reach  # [nt_i, nt_j]
-        counts = active.sum(axis=1)
+        ii, jj = np.nonzero(active)
+        masks = np.zeros(len(ii), dtype=np.uint32)
+        if len(ii):
+            # Fine culling: i-tile AABB vs each of the j-tile's 16 8-atom
+            # group AABBs -> 16-bit mask per admitted pair.  The kernel
+            # streams ONLY masked-in groups (the measured gap: ~2035
+            # admitted j/atom at tile granularity vs ~875 at group
+            # granularity).
+            jg = (jj[:, None] * GROUPS_PER_TILE
+                  + np.arange(GROUPS_PER_TILE)[None, :])  # [p, 16]
+            ggap = np.maximum(
+                np.maximum(
+                    tmin[ii][:, None, :] - gmax[jg],
+                    gmin[jg] - tmax[ii][:, None, :],
+                ),
+                0.0,
+            )
+            gsep2 = (ggap * ggap).sum(axis=2)  # [p, 16]
+            greach = (tmaxr[ii][:, None] + gmaxr[jg]
+                      + np.float32(CULL_SLACK))
+            bits = gsep2 <= greach * greach  # [p, 16]
+            masks = (
+                bits.astype(np.uint32)
+                << np.arange(GROUPS_PER_TILE, dtype=np.uint32)[None, :]
+            ).sum(axis=1, dtype=np.uint32)
+            # Pairs whose tile AABBs touch but no group does: drop.
+            keep = masks != 0
+            ii, jj, masks = ii[keep], jj[keep], masks[keep]
+            pair_sep2 = sep2[ii, jj]
+        counts = np.bincount(ii, minlength=nt)
         if counts.max(initial=0) > JLIST_CAP:
             # Pathological tiling (e.g. Morton folds spanning the box):
             # zero this structure's slots and let the caller reroute it.
@@ -464,18 +503,20 @@ def _pack_structures_numpy(structures, probe, n_points):
             continue
         sl = slice(tile0, tile0 + nt)
         jlist[sl, 0] = counts
-        ii, jj = np.nonzero(active)
         if len(ii):
             # Nearest-first order within each row (by AABB separation) so
             # the kernel's occlusion-saturation early exit fires as soon
             # as possible (the analog of the reference's sorted neighbor
             # lists, spatial_grid.rs:438-465).
-            row_order = np.lexsort((sep2[ii, jj], ii))
+            row_order = np.lexsort((pair_sep2, ii))
             ii = ii[row_order]
             jj = jj[row_order]
+            masks = masks[row_order]
             starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
             row_pos = np.arange(len(ii)) - np.repeat(starts, counts)
-            jlist[tile0 + ii, 1 + row_pos] = jj + tile0
+            jlist[tile0 + ii, 1 + row_pos] = (
+                (masks << np.uint32(16)) | (jj + tile0).astype(np.uint32)
+            )
 
         offsets.append((pos, n, inv))
         tile0 += nt

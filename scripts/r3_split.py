@@ -37,6 +37,11 @@ def sync():
     np.asarray(_tiny(np.zeros(8, np.float32)))
 
 
+def jentry(e):
+    """Decode a u32 jlist entry -> (tile_id, group_mask)."""
+    return int(e) & 0xFFFF, (int(e) >> 16) & 0xFFFF
+
+
 files = sorted(os.listdir(CORPUS))[:900]
 pool = ThreadPoolExecutor(max_workers=4)
 
