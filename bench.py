@@ -125,11 +125,17 @@ def main() -> int:
 
     if os.path.isdir(OUTPUT_DIR):
         shutil.rmtree(OUTPUT_DIR)
+    from rustsasa_tpu.utils import stagestats
+
+    stagestats.reset()
     t0 = time.time()
     report = process_directory(
         corpus, OUTPUT_DIR, options, "json", progress=False
     )
     elapsed = time.time() - t0
+    if stagestats.enabled:
+        log("main-thread stage split (collect = device_wait + unpack):")
+        log(stagestats.report(elapsed))
     log(
         f"processed {report.n_ok}/{report.n_files} files in {elapsed:.2f}s "
         f"({n_atoms / elapsed / 1e6:.2f} Matoms/s, "

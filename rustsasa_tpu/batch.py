@@ -33,6 +33,7 @@ from .io.serialize import (
 from .levels import aggregate
 from .native import NativeFallback, NativeSelection, native_process_file, pipe_library
 from .ops.engine import BatchedSasaEngine, SasaParams
+from .utils import stagestats
 
 
 @dataclass
@@ -257,7 +258,8 @@ def process_directory(
         next_load = [pool.submit(load, p) for p in waves[0]] if waves else []
         in_flight = None  # (good, pending-handle) of the previous wave
         for w in range(len(waves)):
-            loaded = [f.result() for f in next_load]
+            with stagestats.stage("load_wait"):
+                loaded = [f.result() for f in next_load]
             if w + 1 < len(waves):
                 next_load = [pool.submit(load, p) for p in waves[w + 1]]
             good = [(p, h) for (p, h, err) in loaded if err is None]
@@ -266,10 +268,15 @@ def process_directory(
                     report.errors.append(err)
                     bar.tick()
             triples = [triple(h) for (_, h) in good]
-            pending = engine.enqueue(triples)
+            # Pack + dispatch on a worker thread: the C++ packer releases
+            # the GIL, so wave w's packing overlaps wave w-1's device
+            # readback below (on this 2-core host the packer and the
+            # readback wait are the two largest main-thread stages).
+            pending = pool.submit(engine.enqueue, triples)
             if in_flight is not None:
                 prev_good, prev_pending = in_flight
-                sasas = prev_pending.collect()
+                with stagestats.stage("collect"):
+                    sasas = prev_pending.result().collect()
                 emit_futures.extend(
                     pool.submit(emit, args)
                     for args in zip(prev_good, sasas)
@@ -278,12 +285,14 @@ def process_directory(
             drain_emits(only_done=True)
         if in_flight is not None:
             prev_good, prev_pending = in_flight
-            sasas = prev_pending.collect()
+            with stagestats.stage("collect"):
+                sasas = prev_pending.result().collect()
             emit_futures.extend(
                 pool.submit(emit, args)
                 for args in zip(prev_good, sasas)
             )
-        drain_emits(only_done=False)
+        with stagestats.stage("emit_wait"):
+            drain_emits(only_done=False)
 
     report.elapsed_s = time.time() - t0
     return report

@@ -253,6 +253,108 @@ def _setup_pack(lib) -> None:
         ctypes.POINTER(ctypes.c_int64),    # pos out
     ]
     lib.fastpack.restype = ctypes.c_int32
+    if hasattr(lib, "fastpack_q16"):
+        U16P = ctypes.POINTER(ctypes.c_uint16)
+        lib.fastpack_q16.argtypes = [
+            ctypes.c_int32,                    # n_structs
+            ctypes.POINTER(FloatP),            # coords
+            ctypes.POINTER(FloatP),            # radii
+            IntP,                              # ns
+            ctypes.c_float,                    # probe
+            ctypes.c_int64,                    # m_total
+            U16P,                              # planes4 out
+            FloatP,                            # tparams out
+            IntP,                              # tmeta out
+            IntP,                              # inv out
+            ctypes.POINTER(ctypes.c_int64),    # pos out
+            ctypes.c_int32,                    # n_threads
+        ]
+        lib.fastpack_q16.restype = ctypes.c_int32
+
+
+def _pack_pointers(structures):
+    """Marshal (coords, radii) arrays into C pointer tables.
+
+    Returns (coords_p, radii_p, keepalive) - keepalive holds the numpy
+    arrays so their buffers outlive the native call.
+    """
+    FloatP = ctypes.POINTER(ctypes.c_float)
+    n_structs = len(structures)
+    coords_arrs = [
+        np.ascontiguousarray(s[0], dtype=np.float32) for s in structures
+    ]
+    radii_arrs = [
+        np.ascontiguousarray(s[1], dtype=np.float32) for s in structures
+    ]
+    coords_p = (FloatP * n_structs)(
+        *[a.ctypes.data_as(FloatP) for a in coords_arrs]
+    )
+    radii_p = (FloatP * n_structs)(
+        *[a.ctypes.data_as(FloatP) for a in radii_arrs]
+    )
+    return coords_p, radii_p, (coords_arrs, radii_arrs)
+
+
+def fastpack_q16(structures, probe: float, n_threads: int | None = None):
+    """Native packing for the banded device-cull path, or None.
+
+    Same contract as ops.fused_kernel._pack_structures_q16_numpy:
+    (planes4 [4, M] u16, tparams [T, 4] f32, tmeta [T, 2] i32, offsets)
+    with offsets[i] = (slot, n, inv); None when the library is missing
+    OR any structure is unquantizable (caller falls back).
+    """
+    global _pack_ready
+    lib = load_library()
+    if lib is None:
+        return None
+    if not _pack_ready:
+        with _pack_lock:
+            if not _pack_ready:
+                if not hasattr(lib, "fastpack"):
+                    return None
+                _setup_pack(lib)
+                _pack_ready = True
+    if not hasattr(lib, "fastpack_q16"):
+        return None
+
+    n_structs = len(structures)
+    ns = np.array([s[0].shape[0] for s in structures], dtype=np.int32)
+    tiles = (ns + 127) // 128
+    total_tiles = int(tiles.sum())
+    if total_tiles > 65535:
+        raise ValueError(
+            f"chunk too large for u16 tile ids: {total_tiles} tiles"
+        )
+    m = total_tiles * 128
+    planes4 = np.zeros((4, m), dtype=np.uint16)
+    tparams = np.empty((total_tiles, 4), dtype=np.float32)
+    tmeta = np.empty((total_tiles, 2), dtype=np.int32)
+    inv = np.empty(int(ns.sum()), dtype=np.int32)
+    pos = np.empty(n_structs, dtype=np.int64)
+
+    IntP = ctypes.POINTER(ctypes.c_int32)
+    coords_p, radii_p, _keep = _pack_pointers(structures)
+    if n_threads is None:
+        n_threads = min(4, os.cpu_count() or 1)
+    rc = lib.fastpack_q16(
+        n_structs, coords_p, radii_p,
+        ns.ctypes.data_as(IntP), ctypes.c_float(probe), m,
+        planes4.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        tparams.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tmeta.ctypes.data_as(IntP),
+        inv.ctypes.data_as(IntP),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(n_threads),
+    )
+    if rc != 0:
+        return None
+    offsets = []
+    inv_off = 0
+    for s in range(n_structs):
+        n = int(ns[s])
+        offsets.append((int(pos[s]), n, inv[inv_off:inv_off + n]))
+        inv_off += n
+    return planes4, tparams, tmeta, offsets
 
 
 def fastpack(structures, probe: float):

@@ -18,7 +18,9 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <atomic>
 #include <string>
+#include <thread>
 #include <string_view>
 #include <unordered_map>
 #include <vector>
@@ -1134,19 +1136,12 @@ static const int kJListCap = kJListRows - 1;
 static const int kJGroup = 8;
 static const int kGroupsPerTile = kAtomTile / kJGroup;
 
-// Pack one structure into its slot range.  Returns false on j-list
-// overflow (caller zeroes the slots and marks the structure failed).
-// jlist entries are u32: (group_mask << 16) | j_tile_id; col 0 = count
-// (see ops/fused_kernel.py for the full layout contract).
-static bool pack_one(const float* coords, const float* radii,
-                     const int32_t* gids, int n, float probe,
-                     int64_t pos, int tile0, int64_t m_total,
-                     float* planes5, uint32_t* jlist, int32_t* inv) {
-  int nt = (n + kAtomTile - 1) / kAtomTile;
-  // Center: f64 mean rounded to a 1/256 A grid.  The rounding erases the
-  // summation-order difference between this sequential loop and numpy's
-  // pairwise f64 sum, so both packers center bit-identically (the exact
-  // center is arbitrary; only host/device agreement matters).
+// Shared first stage of both packers: center on the f64 mean rounded to
+// a 1/256 A grid, Morton-order, invert the permutation.  `c` gets the
+// centered coordinates (input order); `order[k]` = input index of slot k.
+static void center_morton_sort(const float* coords, int n,
+                               std::vector<float>& c,
+                               std::vector<int32_t>& order, int32_t* inv) {
   double cx = 0, cy = 0, cz = 0;
   for (int i = 0; i < n; i++) {
     cx += coords[3 * i];
@@ -1157,8 +1152,7 @@ static bool pack_one(const float* coords, const float* radii,
   float my = (float)(std::nearbyint(cy / n * 256.0) / 256.0);
   float mz = (float)(std::nearbyint(cz / n * 256.0) / 256.0);
 
-  // Morton codes on quantized centered coords.
-  std::vector<float> c(3 * (size_t)n);
+  c.resize(3 * (size_t)n);
   float qmin[3] = {1e30f, 1e30f, 1e30f};
   for (int i = 0; i < n; i++) {
     c[3 * i] = coords[3 * i] - mx;
@@ -1184,11 +1178,25 @@ static bool pack_one(const float* coords, const float* radii,
     code[i] = morton_spread(q[0]) | (morton_spread(q[1]) << 1) |
               (morton_spread(q[2]) << 2);
   }
-  std::vector<int32_t> order((size_t)n);
+  order.resize((size_t)n);
   for (int i = 0; i < n; i++) order[i] = i;
   std::stable_sort(order.begin(), order.end(),
                    [&](int32_t a, int32_t b) { return code[a] < code[b]; });
   for (int k = 0; k < n; k++) inv[order[k]] = k;
+}
+
+// Pack one structure into its slot range.  Returns false on j-list
+// overflow (caller zeroes the slots and marks the structure failed).
+// jlist entries are u32: (group_mask << 16) | j_tile_id; col 0 = count
+// (see ops/fused_kernel.py for the full layout contract).
+static bool pack_one(const float* coords, const float* radii,
+                     const int32_t* gids, int n, float probe,
+                     int64_t pos, int tile0, int64_t m_total,
+                     float* planes5, uint32_t* jlist, int32_t* inv) {
+  int nt = (n + kAtomTile - 1) / kAtomTile;
+  std::vector<float> c;
+  std::vector<int32_t> order;
+  center_morton_sort(coords, n, c, order, inv);
 
   // Fill transfer planes (row-major [5, M]).
   float* px = planes5 + 0 * m_total + pos;
@@ -1319,6 +1327,125 @@ int fastpack(int n_structs, const float** coords, const float** radii,
     inv_off += n;
   }
   return n_failed;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// fastpack_q16: host packing for the banded DEVICE-cull path.
+//
+// Native port of ops/fused_kernel._pack_structures_q16_numpy (bit-identical
+// layout contract, tested in tests/test_native_pipe.py): per structure,
+// center + Morton-sort, then quantize coordinates to u16 against the
+// structure's own box and r_eff to u16/8192.  NO neighbor/culling work -
+// that runs on the TPU (ops/fused_kernel.build_jlist_banded).  Threaded
+// over structures (disjoint output ranges).
+// ---------------------------------------------------------------------------
+
+// Mirrors fused_kernel.MAX_Q_EXTENT / R_QUANT.
+static const float kMaxQExtent = 1300.0f;
+static const float kRQuant = 8192.0f;
+
+// Returns false when the structure is unquantizable (extent or radius out
+// of range) - the whole chunk then falls back to the f32/host-cull path.
+static bool pack_one_q16(const float* coords, const float* radii, int n,
+                         float probe, int64_t pos, int tile0, int64_t m_total,
+                         uint16_t* planes4, float* tparams, int32_t* tmeta,
+                         int32_t* inv) {
+  int nt = (n + kAtomTile - 1) / kAtomTile;
+  std::vector<float> c;
+  std::vector<int32_t> order;
+  center_morton_sort(coords, n, c, order, inv);
+
+  float cmin[3] = {1e30f, 1e30f, 1e30f};
+  float cmax[3] = {-1e30f, -1e30f, -1e30f};
+  for (int i = 0; i < n; i++) {
+    for (int d = 0; d < 3; d++) {
+      cmin[d] = std::min(cmin[d], c[3 * i + d]);
+      cmax[d] = std::max(cmax[d], c[3 * i + d]);
+    }
+  }
+  float extent = 0.0f;
+  for (int d = 0; d < 3; d++) extent = std::max(extent, cmax[d] - cmin[d]);
+  if (extent > kMaxQExtent) return false;
+  // f64 divide then cast, matching np.float32(max(extent, 1e-6) / 65535.0).
+  float scale = (float)(std::max((double)extent, 1e-6) / 65535.0);
+
+  uint16_t* px = planes4 + 0 * m_total + pos;
+  uint16_t* py = planes4 + 1 * m_total + pos;
+  uint16_t* pz = planes4 + 2 * m_total + pos;
+  uint16_t* pr = planes4 + 3 * m_total + pos;
+  for (int k = 0; k < n; k++) {
+    int i = order[k];
+    // np.rint == nearbyintf under round-to-nearest-even (the default).
+    float qx = nearbyintf((c[3 * i] - cmin[0]) / scale);
+    float qy = nearbyintf((c[3 * i + 1] - cmin[1]) / scale);
+    float qz = nearbyintf((c[3 * i + 2] - cmin[2]) / scale);
+    px[k] = (uint16_t)std::min(std::max(qx, 0.0f), 65535.0f);
+    py[k] = (uint16_t)std::min(std::max(qy, 0.0f), 65535.0f);
+    pz[k] = (uint16_t)std::min(std::max(qz, 0.0f), 65535.0f);
+    float qr = nearbyintf((radii[i] + probe) * kRQuant);
+    if (qr > 65535.0f) return false;
+    pr[k] = (uint16_t)std::max(qr, 1.0f);
+  }
+  for (int t = tile0; t < tile0 + nt; t++) {
+    tparams[4 * (size_t)t + 0] = cmin[0];
+    tparams[4 * (size_t)t + 1] = cmin[1];
+    tparams[4 * (size_t)t + 2] = cmin[2];
+    tparams[4 * (size_t)t + 3] = scale;
+    tmeta[2 * (size_t)t + 0] = tile0;
+    tmeta[2 * (size_t)t + 1] = nt;
+  }
+  return true;
+}
+
+extern "C" {
+
+// Returns 0 on success, 1 when any structure is unquantizable (caller
+// falls back to fastpack + the f32 path).  planes4 (u16[4*M], zeroed),
+// tparams (f32[T*4]), tmeta (i32[T*2]), inv (i32[sum ns]) and
+// pos_out (i64[n_structs]) are caller-allocated.
+int fastpack_q16(int n_structs, const float** coords, const float** radii,
+                 const int32_t* ns, float probe, int64_t m_total,
+                 uint16_t* planes4, float* tparams, int32_t* tmeta,
+                 int32_t* inv, int64_t* pos_out, int n_threads) {
+  // Prefix offsets so every structure packs independently.
+  std::vector<int64_t> pos(n_structs), inv_off(n_structs);
+  std::vector<int32_t> tile0(n_structs);
+  int64_t p = 0, io = 0;
+  int t0 = 0;
+  for (int s = 0; s < n_structs; s++) {
+    pos[s] = p;
+    inv_off[s] = io;
+    tile0[s] = t0;
+    int nt = (ns[s] + kAtomTile - 1) / kAtomTile;
+    p += (int64_t)nt * kAtomTile;
+    t0 += nt;
+    io += ns[s];
+    pos_out[s] = pos[s];
+  }
+
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  auto worker = [&]() {
+    for (;;) {
+      int s = next.fetch_add(1);
+      if (s >= n_structs || failed.load(std::memory_order_relaxed)) return;
+      if (!pack_one_q16(coords[s], radii[s], ns[s], probe, pos[s], tile0[s],
+                        m_total, planes4, tparams, tmeta, inv + inv_off[s]))
+        failed.store(1, std::memory_order_relaxed);
+    }
+  };
+  int nth = std::max(1, std::min(n_threads, n_structs));
+  if (nth == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    threads.reserve((size_t)nth);
+    for (int i = 0; i < nth; i++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+  return failed.load() ? 1 : 0;
 }
 
 }  // extern "C"

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DEFAULT_N_POINTS, DEFAULT_PROBE_RADIUS
+from ..utils import stagestats
 from . import fused_kernel, pallas_kernel
 from .sphere import padded_sphere_points
 
@@ -492,9 +493,50 @@ def _compute_fused(
             triples.append(
                 (coords, radii, _dense_gids(gids, coords.shape[0]))
             )
-        planes, jlist, offsets, failed = fused_kernel.pack_structures(
-            triples, probe, n_points
+        # Banded device-cull path (the production fast path): culling
+        # happens on the TPU (fused_kernel.build_jlist_banded), the host
+        # only centers/sorts/quantizes, and no j-lists ride the link.
+        # Requirements: per-atom-unique gids (slot index becomes the
+        # exclusion id) and every structure small enough for a W bucket.
+        max_nt = max(
+            -(-t[0].shape[0] // fused_kernel.ATOM_TILE) for t in triples
         )
+        if max_nt <= fused_kernel.W_BUCKETS[-1] and all(
+            _unique_gids(t[2]) for t in triples
+        ):
+            with stagestats.stage("pack"):
+                qout = fused_kernel.pack_structures_q16(triples, probe)
+            if qout is not None:
+                planes4, tparams, tmeta, offsets = qout
+                m = planes4.shape[1]
+                m_pad = m if interpret else _round_bucket(
+                    m, _FUSED_M_BUCKETS
+                )
+                if m_pad != m:
+                    pad_t = (m_pad - m) // fused_kernel.ATOM_TILE
+                    planes4 = np.pad(planes4, ((0, 0), (0, m_pad - m)))
+                    tparams = np.pad(tparams, ((0, pad_t), (0, 0)))
+                    tmeta = np.pad(tmeta, ((0, pad_t), (0, 0)))
+                w = next(
+                    b for b in fused_kernel.W_BUCKETS if b >= max_nt
+                )
+                dev = devices[n_flushed % len(devices)]
+                n_flushed += 1
+                with stagestats.stage("dispatch"):
+                    if len(devices) > 1:
+                        planes4 = jax.device_put(planes4, dev)
+                        tparams = jax.device_put(tparams, dev)
+                        tmeta = jax.device_put(tmeta, dev)
+                    out = fused_kernel.fused_sasa_q16_banded(
+                        planes4, tparams, tmeta, sphere_for(dev),
+                        n_points=n_points, w=w, interpret=interpret,
+                    )
+                pending.append((chunk, offsets, out, "q16"))
+                return
+        with stagestats.stage("pack"):
+            planes, jlist, offsets, failed = fused_kernel.pack_structures(
+                triples, probe, n_points
+            )
         if failed:
             # Pathologically connected tiling: route those structures
             # through the list-based path instead (exactness over speed).
@@ -521,26 +563,30 @@ def _compute_fused(
         q = None
         if all(_unique_gids(t[2]) for t in triples):
             spans = [(off[0], off[1]) for off in offsets if off is not None]
-            q = fused_kernel.quantize_packed(planes, spans)
+            with stagestats.stage("quantize"):
+                q = fused_kernel.quantize_packed(planes, spans)
         if q is not None:
             planes4, tparams = q
-            if len(devices) > 1:
-                planes4 = jax.device_put(planes4, dev)
-                tparams = jax.device_put(tparams, dev)
-                jlist = jax.device_put(jlist, dev)
-            out = fused_kernel.fused_sasa_q16(
-                planes4, tparams, jlist, sphere_for(dev),
-                n_points=n_points, interpret=interpret,
-            )
+            with stagestats.stage("dispatch"):
+                if len(devices) > 1:
+                    planes4 = jax.device_put(planes4, dev)
+                    tparams = jax.device_put(tparams, dev)
+                    jlist = jax.device_put(jlist, dev)
+                out = fused_kernel.fused_sasa_q16(
+                    planes4, tparams, jlist, sphere_for(dev),
+                    n_points=n_points, interpret=interpret,
+                )
             pending.append((chunk, offsets, out, "q16"))
         else:
-            if len(devices) > 1:
-                planes = jax.device_put(planes, dev)
-                jlist = jax.device_put(jlist, dev)
-            out = fused_kernel.fused_sasa(
-                planes, jlist, sphere_for(dev),
-                n_points=n_points, out_dtype=out_dtype, interpret=interpret,
-            )
+            with stagestats.stage("dispatch"):
+                if len(devices) > 1:
+                    planes = jax.device_put(planes, dev)
+                    jlist = jax.device_put(jlist, dev)
+                out = fused_kernel.fused_sasa(
+                    planes, jlist, sphere_for(dev),
+                    n_points=n_points, out_dtype=out_dtype,
+                    interpret=interpret,
+                )
             pending.append((chunk, offsets, out, "f32"))
 
     chunk: list[int] = []
@@ -577,21 +623,23 @@ class _FusedPending:
     def collect(self) -> list[np.ndarray]:
         area_const = np.float32(4.0 * np.pi / self.n_points)
         for chunk, offsets, out, kind in self.pending:
-            out_np = np.asarray(out)
-            for i, off in zip(chunk, offsets):
-                if off is None:
-                    continue  # rerouted to fallback
-                pos, n, inv = off
-                vals = out_np[pos:pos + n][inv]
-                if kind == "q16":
-                    # counts -> SASA on host: exact f32, and the counts
-                    # readback is 2-4x narrower than an area readback.
-                    r_eff = self.structures[i][1].astype(np.float32) \
-                        + np.float32(self.probe)
-                    vals = vals.astype(np.float32) * (
-                        area_const * r_eff * r_eff
-                    )
-                self.results[i] = vals.astype(np.float32)
+            with stagestats.stage("device_wait"):
+                out_np = np.asarray(out)
+            with stagestats.stage("unpack"):
+                for i, off in zip(chunk, offsets):
+                    if off is None:
+                        continue  # rerouted to fallback
+                    pos, n, inv = off
+                    vals = out_np[pos:pos + n][inv]
+                    if kind == "q16":
+                        # counts -> SASA on host: exact f32, and the counts
+                        # readback is 2-4x narrower than an area readback.
+                        r_eff = self.structures[i][1].astype(np.float32) \
+                            + np.float32(self.probe)
+                        vals = vals.astype(np.float32) * (
+                            area_const * r_eff * r_eff
+                        )
+                    self.results[i] = vals.astype(np.float32)
 
         if self.fallback:
             eng = BatchedSasaEngine(

@@ -267,6 +267,20 @@ def fused_sasa(
 # Fixed radius dequant scale: r_eff = qr * 2^-13 (exact in f32); covers
 # r_eff < 8 A at 1.2e-4 A resolution.  qr == 0 marks padding slots.
 R_QUANT = 8192.0
+
+# Band widths for the DEVICE-side culling path: a chunk whose largest
+# structure has <= w tiles builds its j-lists on the TPU (see
+# build_jlist_banded).  127 = JLIST_CAP, so a full band can never
+# overflow a j-list row; chunks with bigger structures use the host
+# culling path.
+W_BUCKETS = (32, 64, 127)
+
+# Slack for the device-side AABB cull.  Unlike the host cull (which must
+# stay conservative across u16 quantization, CULL_SLACK=0.08), the
+# device cull and the kernel read the SAME dequantized f32 coordinates,
+# so only f32 rounding of the separation test needs covering (~1e-4 on
+# protein-scale values).
+DEVICE_CULL_SLACK = 0.01
 # Conservative reach slack added during tile-pair culling so the cull
 # stays valid for coordinates quantized at up to ~1300 A structure extent
 # (u16 step <= 0.02 A; see quantize_packed).  Larger structures use the
@@ -310,6 +324,223 @@ def fused_sasa_q16(
     counts = _counts_call(planes, jlist, sphere128, interpret=interpret)
     out_dtype = jnp.uint8 if n_points <= 255 else jnp.uint16
     return counts.reshape(m).astype(out_dtype)
+
+
+def build_jlist_banded(
+    planes: jnp.ndarray,  # [N_PLANES, M] f32 dequantized
+    qvalid: jnp.ndarray,  # [M] bool (real atom slots)
+    tmeta: jnp.ndarray,  # [T, 2] i32: (first tile of own structure, n tiles)
+    *,
+    w: int,
+) -> jnp.ndarray:
+    """Tile-pair culling ON DEVICE -> [T, JLIST_ROWS] i32 j-lists.
+
+    The host culling path (pack_structures) spends most of its CPU on the
+    [nt x nt] AABB tests, group masks and nearest-first sort, and ships
+    512B/tile of j-lists over the narrow host link.  On this 2-core host
+    that work IS the pipeline bottleneck, so the banded path moves it to
+    the TPU: tiles of one structure occupy a contiguous index band
+    (tile_start .. tile_start+ts_len), so each i-tile tests exactly the
+    `w`-wide band of its own structure (w static, >= max tiles/structure
+    in the chunk).  AABBs are reduced from the SAME dequantized
+    coordinates the kernel reads, the 16-bit 8-atom-group masks and the
+    nearest-first (AABB separation) order match the host packer's
+    semantics (spatial_grid.rs:174-192 analog), and w <= JLIST_CAP makes
+    row overflow impossible by construction.
+    """
+    m = planes.shape[1]
+    t = m // ATOM_TILE
+    ng = t * GROUPS_PER_TILE
+    big = jnp.float32(3e4)
+    c = planes[0:3].T  # [M, 3]
+    r = planes[3]
+    cmin_src = jnp.where(qvalid[:, None], c, big)
+    cmax_src = jnp.where(qvalid[:, None], c, -big)
+    rmasked = jnp.where(qvalid, r, 0.0)
+    gmin = cmin_src.reshape(ng, J_GROUP, 3).min(axis=1)
+    gmax = cmax_src.reshape(ng, J_GROUP, 3).max(axis=1)
+    gmaxr = rmasked.reshape(ng, J_GROUP).max(axis=1)
+    tmin = gmin.reshape(t, GROUPS_PER_TILE, 3).min(axis=1)
+    tmax = gmax.reshape(t, GROUPS_PER_TILE, 3).max(axis=1)
+    tmaxr = gmaxr.reshape(t, GROUPS_PER_TILE).max(axis=1)
+
+    start = tmeta[:, 0]
+    ts_len = tmeta[:, 1]
+    slack = jnp.float32(DEVICE_CULL_SLACK)
+    iidx = jnp.arange(t, dtype=jnp.int32)
+    end = start + ts_len
+
+    # Candidates are indexed by RELATIVE tile offset d = j - i, d in
+    # (-w, w): a gather-free formulation (XLA gathers measured ~10x the
+    # cost of the whole rest of this build on TPU).  The shifted j-tile
+    # views come from static slices of a padded array, stacked into ONE
+    # [2w-1, T, ...] tensor so every test below is a single wide op (a
+    # 63-step python loop of tiny ops was overhead-bound).  Per-row
+    # validity (j inside the structure's own band) caps actives at
+    # ts_len <= w <= JLIST_CAP, so overflow stays impossible.
+    nd = 2 * w - 1
+
+    def shifted(x):
+        """[T, ...] -> [nd, T, ...]: window d holds x[i + d - (w-1)]."""
+        pad = [(w - 1, w - 1)] + [(0, 0)] * (x.ndim - 1)
+        xp = jnp.pad(x, pad)
+        return jnp.stack(
+            [jax.lax.slice_in_dim(xp, d, d + t, axis=0) for d in range(nd)]
+        )
+
+    offs = jnp.arange(-(w - 1), w, dtype=jnp.int32)  # [nd]
+    j = iidx[None, :] + offs[:, None]  # [nd, T]
+    valid = (j >= start[None, :]) & (j < end[None, :])
+
+    jt_min = shifted(tmin)  # [nd, T, 3]
+    jt_max = shifted(tmax)
+    jt_maxr = shifted(tmaxr)  # [nd, T]
+    gap = jnp.maximum(
+        jnp.maximum(tmin[None] - jt_max, jt_min - tmax[None]), 0.0
+    )
+    sep2 = jnp.sum(gap * gap, axis=-1)  # [nd, T]
+    reach = tmaxr[None] + jt_maxr + slack
+    act = valid & (sep2 <= reach * reach)
+
+    # Fine granularity: i-tile AABB vs the j-tile's 16 8-atom groups.
+    jg_min = shifted(gmin.reshape(t, GROUPS_PER_TILE, 3))  # [nd, T, 16, 3]
+    jg_max = shifted(gmax.reshape(t, GROUPS_PER_TILE, 3))
+    jg_maxr = shifted(gmaxr.reshape(t, GROUPS_PER_TILE))  # [nd, T, 16]
+    ggap = jnp.maximum(
+        jnp.maximum(
+            tmin[None, :, None, :] - jg_max,
+            jg_min - tmax[None, :, None, :],
+        ),
+        0.0,
+    )
+    gsep2 = jnp.sum(ggap * ggap, axis=-1)  # [nd, T, 16]
+    greach = tmaxr[None, :, None] + jg_maxr + slack
+    bits = gsep2 <= greach * greach
+    mask = jnp.sum(
+        jnp.where(bits, jnp.int32(1), jnp.int32(0))
+        << jnp.arange(GROUPS_PER_TILE, dtype=jnp.int32)[None, None, :],
+        axis=-1,
+    )  # [nd, T] i32, 16 low bits used
+    act = act & (mask > 0)
+
+    # Nearest-first compaction: sort each band row by masked separation;
+    # inactive entries sink to the end with +inf keys.
+    key = jnp.where(act, sep2, jnp.float32(np.inf)).T  # [T, nd]
+    entries = (jax.lax.shift_left(mask, 16) | j).T
+    key_s, ent_s = jax.lax.sort((key, entries), num_keys=1, dimension=1)
+    count = jnp.sum(act, axis=0).astype(jnp.int32)
+    nkeep = min(nd, JLIST_CAP)
+    jlist = jnp.zeros((t, JLIST_ROWS), dtype=jnp.int32)
+    jlist = jlist.at[:, 0].set(count)
+    jlist = jlist.at[:, 1:1 + nkeep].set(ent_s[:, :nkeep])
+    return jlist
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_points", "w", "interpret")
+)
+def fused_sasa_q16_banded(
+    planes4: jnp.ndarray,  # [4, M] u16: qx, qy, qz, qr
+    tparams: jnp.ndarray,  # [T, 4] f32: ox, oy, oz, cscale per tile
+    tmeta: jnp.ndarray,  # [T, 2] i32: (tile_start, ts_len) per tile
+    sphere128: jnp.ndarray,  # [P, 128] f32
+    *,
+    n_points: int,
+    w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Quantized wire + DEVICE-side culling: 8B/atom-slot in (no j-lists
+    ride the link), occlusion counts (u8/u16) back.  One jit: dequant,
+    banded AABB culling (build_jlist_banded) and the Pallas kernel fuse
+    into a single dispatch.
+    """
+    m = planes4.shape[1]
+    q = planes4.astype(jnp.float32)  # [4, M]
+    par = jnp.repeat(tparams, ATOM_TILE, axis=0)  # [M, 4]
+    planes = jnp.zeros((N_PLANES, m), dtype=jnp.float32)
+    planes = planes.at[0].set(q[0] * par[:, 3] + par[:, 0])
+    planes = planes.at[1].set(q[1] * par[:, 3] + par[:, 1])
+    planes = planes.at[2].set(q[2] * par[:, 3] + par[:, 2])
+    planes = planes.at[3].set(q[3] * np.float32(1.0 / R_QUANT))
+    slot_gid = jnp.arange(m, dtype=jnp.float32) + 1.0
+    qvalid = q[3] > 0.0
+    planes = planes.at[4].set(jnp.where(qvalid, slot_gid, 0.0))
+    jlist = build_jlist_banded(planes, qvalid, tmeta, w=w)
+    counts = _counts_call(planes, jlist, sphere128, interpret=interpret)
+    out_dtype = jnp.uint8 if n_points <= 255 else jnp.uint16
+    return counts.reshape(m).astype(out_dtype)
+
+
+def pack_structures_q16(structures: list, probe: float):
+    """Host packing for the banded device-cull path (numpy spec).
+
+    Per structure: center (f64 mean rounded to a 1/256 A grid), Morton
+    sort, quantize coordinates to u16 against the structure's own box and
+    r_eff to u16/8192 - NO neighbor work; culling happens on device
+    (build_jlist_banded).  Returns
+    (planes4 [4, M] u16, tparams [T, 4] f32, tmeta [T, 2] i32, offsets)
+    with offsets[i] = (slot, n, inv), or None when any structure is
+    unquantizable (extent > MAX_Q_EXTENT or r_eff >= 8 A) - the caller
+    falls back to the f32/host-cull path.  The native C++ packer
+    (fastpack_q16) implements the same layout bit-identically.
+    """
+    from ..native import fastpack_q16
+
+    out = fastpack_q16(structures, float(probe))
+    if out is not None:
+        return out
+    return _pack_structures_q16_numpy(structures, probe)
+
+
+def _pack_structures_q16_numpy(structures: list, probe: float):
+    tiles_per = [-(-s[0].shape[0] // ATOM_TILE) for s in structures]
+    total_tiles = sum(tiles_per)
+    if total_tiles > 65535:
+        raise ValueError(
+            f"chunk too large for u16 tile ids: {total_tiles} tiles"
+        )
+    m = total_tiles * ATOM_TILE
+    planes4 = np.zeros((4, m), dtype=np.uint16)
+    tparams = np.zeros((total_tiles, 4), dtype=np.float32)
+    tparams[:, 3] = 1.0
+    tmeta = np.zeros((total_tiles, 2), dtype=np.int32)
+
+    offsets = []
+    tile0 = 0
+    pos = 0
+    for coords, radii, _gids in structures:
+        n = coords.shape[0]
+        nt = -(-n // ATOM_TILE)
+        center = np.round(
+            coords.mean(axis=0, dtype=np.float64) * 256.0
+        ) / 256.0
+        c = coords - center.astype(np.float32)
+        order = np.argsort(_morton_codes(c), kind="stable")
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        c = c[order]
+        r_eff = radii[order] + np.float32(probe)
+
+        cmin = c.min(axis=0)
+        extent = float((c.max(axis=0) - cmin).max())
+        if extent > MAX_Q_EXTENT:
+            return None
+        scale = np.float32(max(extent, 1e-6) / 65535.0)
+        q = np.rint((c - cmin[None, :]) / scale)
+        planes4[0:3, pos:pos + n] = np.clip(q, 0, 65535).astype(np.uint16).T
+        qr = np.rint(r_eff * R_QUANT)
+        if float(qr.max(initial=0.0)) > 65535.0:
+            return None
+        planes4[3, pos:pos + n] = np.maximum(qr, 1.0).astype(np.uint16)
+        t0, t1 = tile0, tile0 + nt
+        tparams[t0:t1, 0:3] = cmin
+        tparams[t0:t1, 3] = scale
+        tmeta[t0:t1, 0] = tile0
+        tmeta[t0:t1, 1] = nt
+        offsets.append((pos, n, inv))
+        tile0 += nt
+        pos += nt * ATOM_TILE
+    return planes4, tparams, tmeta, offsets
 
 
 def quantize_packed(planes5: np.ndarray, spans: list) -> tuple:
