@@ -123,27 +123,38 @@ def main() -> int:
     )
     log(f"warmup pass took {time.time() - t0:.1f}s")
 
-    if os.path.isdir(OUTPUT_DIR):
-        shutil.rmtree(OUTPUT_DIR)
+    # Timed passes: 3 runs, median reported - the reference's protocol
+    # (hyperfine, 3 runs + 3 warmup, README.md:163).  Multiple runs
+    # matter doubly here: the TPU tunnel's sustained bandwidth varies
+    # >10x between windows (PROFILE.md), so a single pass conflates code
+    # speed with link congestion.
     from rustsasa_tpu.utils import stagestats
 
-    stagestats.reset()
-    t0 = time.time()
-    report = process_directory(
-        corpus, OUTPUT_DIR, options, "json", progress=False
-    )
-    elapsed = time.time() - t0
-    if stagestats.enabled:
-        log("main-thread stage split (collect = device_wait + unpack):")
-        log(stagestats.report(elapsed))
-    log(
-        f"processed {report.n_ok}/{report.n_files} files in {elapsed:.2f}s "
-        f"({n_atoms / elapsed / 1e6:.2f} Matoms/s, "
-        f"{report.n_files / elapsed:.0f} structures/s); "
-        f"errors: {len(report.errors)}"
-    )
-    for e in report.errors[:5]:
-        log(f"  error: {e}")
+    runs = []
+    for i in range(3):
+        if os.path.isdir(OUTPUT_DIR):
+            shutil.rmtree(OUTPUT_DIR)
+        stagestats.reset()
+        t0 = time.time()
+        report = process_directory(
+            corpus, OUTPUT_DIR, options, "json", progress=False
+        )
+        elapsed = time.time() - t0
+        runs.append(elapsed)
+        if stagestats.enabled:
+            log("main-thread stage split (collect = device_wait + unpack):")
+            log(stagestats.report(elapsed))
+        log(
+            f"run {i}: {report.n_ok}/{report.n_files} files in {elapsed:.2f}s "
+            f"({n_atoms / elapsed / 1e6:.2f} Matoms/s, "
+            f"{report.n_files / elapsed:.0f} structures/s); "
+            f"errors: {len(report.errors)}"
+        )
+        for e in report.errors[:5]:
+            log(f"  error: {e}")
+    runs.sort()
+    elapsed = runs[len(runs) // 2]
+    log(f"median {elapsed:.2f}s (best {runs[0]:.2f}s, worst {runs[-1]:.2f}s)")
 
     print(
         json.dumps(

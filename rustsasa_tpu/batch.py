@@ -254,14 +254,22 @@ def process_directory(
             bar.tick()
         emit_futures[:] = remaining
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        next_load = [pool.submit(load, p) for p in waves[0]] if waves else []
+    with ThreadPoolExecutor(max_workers=workers) as pool, \
+            ThreadPoolExecutor(max_workers=workers) as load_pool:
+        # ALL loads submitted upfront ON THEIR OWN POOL: parsing fills
+        # every idle host cycle from t=0 (waves 2+ parse while the device
+        # crunches waves 0-1) and never queues ahead of the pack/emit
+        # tasks submitted to `pool` below.  Peak memory is one SoA
+        # selection per file (~16B/atom), fine at proteome scale.
+        load_futures = [load_pool.submit(load, p) for p in files]
+        wave_futures = [
+            load_futures[lo:lo + wave_size]
+            for lo in range(0, len(files), wave_size)
+        ]
         in_flight = None  # (good, pending-handle) of the previous wave
         for w in range(len(waves)):
             with stagestats.stage("load_wait"):
-                loaded = [f.result() for f in next_load]
-            if w + 1 < len(waves):
-                next_load = [pool.submit(load, p) for p in waves[w + 1]]
+                loaded = [f.result() for f in wave_futures[w]]
             good = [(p, h) for (p, h, err) in loaded if err is None]
             for _, _, err in loaded:
                 if err is not None:

@@ -34,3 +34,21 @@ for m in E._FUSED_M_BUCKETS:
             f"-> {atoms/el/1e6:.2f} Matoms/s",
             flush=True,
         )
+
+# Wider band buckets (w=64 / w=127): chunks containing a structure of
+# 33-64 / 65-127 tiles compile separate (M, w) variants.
+for m, big_n in [(32768, 8000), (131072, 8000), (524288, 8000),
+                 (2097152, 8000), (4194304, 8000),
+                 (131072, 16000), (2097152, 16000), (4194304, 16000)]:
+    structures = [protein_like(big_n)]
+    structures += [
+        protein_like(2000)
+        for _ in range(max(0, (m - 2 * big_n) // 2048))
+    ]
+    t0 = time.time()
+    eng.compute(structures)
+    print(
+        f"bucket {m} w-band({big_n} atoms): compiled+ran in "
+        f"{time.time()-t0:.1f}s",
+        flush=True,
+    )
