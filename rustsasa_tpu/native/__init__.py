@@ -88,6 +88,9 @@ def load_library():
             return None
         lib.fastparse_file.argtypes = [ctypes.c_char_p]
         lib.fastparse_file.restype = ctypes.POINTER(_FPResult)
+        if hasattr(lib, "fastparse_file_lean"):
+            lib.fastparse_file_lean.argtypes = [ctypes.c_char_p]
+            lib.fastparse_file_lean.restype = ctypes.POINTER(_FPResult)
         lib.fastparse_free.argtypes = [ctypes.POINTER(_FPResult)]
         lib.fastparse_free.restype = None
         _lib = lib
@@ -525,7 +528,13 @@ def native_process_file(
     lib = pipe_library()
     if lib is None:
         raise NativeFallback()
-    fp = lib.fastparse_file(path.encode())
+    # Lean parse skips occupancy/b-factor float parsing (two of five
+    # float fields): this pipeline only emits json/xml, so those columns
+    # are read downstream only via the occupancy-radii flag.
+    if not read_radii_from_occupancy and hasattr(lib, "fastparse_file_lean"):
+        fp = lib.fastparse_file_lean(path.encode())
+    else:
+        fp = lib.fastparse_file(path.encode())
     try:
         if fp.contents.error and fp.contents.error != b"":
             msg = fp.contents.error.decode(errors="replace")

@@ -402,20 +402,28 @@ def build_jlist_banded(
     reach = tmaxr[None] + jt_maxr + slack
     act = valid & (sep2 <= reach * reach)
 
-    # Fine granularity: i-tile AABB vs the j-tile's 16 8-atom groups.
+    # Fine granularity: i-tile 32-atom sub-AABBs vs the j-tile's 16
+    # 8-atom groups.  A 128-atom Morton range is often L-shaped; its
+    # full AABB covers empty space and falsely admits j-groups no i-atom
+    # can reach.  Testing each j-group against the i-tile's four 32-atom
+    # sub-boxes stays conservative (every i-atom lies inside the union
+    # of the sub-boxes) while cutting streamed candidates.
+    smin = gmin.reshape(t, 4, 4, 3).min(axis=2)  # [T, 4, 3]
+    smax = gmax.reshape(t, 4, 4, 3).max(axis=2)
+    smaxr = gmaxr.reshape(t, 4, 4).max(axis=2)  # [T, 4]
     jg_min = shifted(gmin.reshape(t, GROUPS_PER_TILE, 3))  # [nd, T, 16, 3]
     jg_max = shifted(gmax.reshape(t, GROUPS_PER_TILE, 3))
     jg_maxr = shifted(gmaxr.reshape(t, GROUPS_PER_TILE))  # [nd, T, 16]
     ggap = jnp.maximum(
         jnp.maximum(
-            tmin[None, :, None, :] - jg_max,
-            jg_min - tmax[None, :, None, :],
+            smin[None, :, None, :, :] - jg_max[:, :, :, None, :],
+            jg_min[:, :, :, None, :] - smax[None, :, None, :, :],
         ),
         0.0,
-    )
-    gsep2 = jnp.sum(ggap * ggap, axis=-1)  # [nd, T, 16]
-    greach = tmaxr[None, :, None] + jg_maxr + slack
-    bits = gsep2 <= greach * greach
+    )  # [nd, T, 16, 4, 3]
+    gsep2 = jnp.sum(ggap * ggap, axis=-1)  # [nd, T, 16, 4]
+    greach = smaxr[None, :, None, :] + jg_maxr[:, :, :, None] + slack
+    bits = jnp.any(gsep2 <= greach * greach, axis=-1)  # [nd, T, 16]
     mask = jnp.sum(
         jnp.where(bits, jnp.int32(1), jnp.int32(0))
         << jnp.arange(GROUPS_PER_TILE, dtype=jnp.int32)[None, None, :],
