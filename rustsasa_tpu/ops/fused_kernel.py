@@ -8,12 +8,14 @@ src/structures/spatial_grid.rs):
 
   * atoms are Morton-sorted per structure (host side) so spatial locality
     maps to tile locality;
-  * culling happens ON THE HOST at TWO granularities: for every 128-atom
-    i-tile the packer emits the j-tiles whose AABBs are within occlusion
-    reach (the analog of the reference's half-shell cell iteration,
-    spatial_grid.rs:174-192), and for each admitted pair a 16-bit MASK of
-    which 8-atom j-groups are in reach of the i-tile.  Each jlist entry is
-    a u32: (group_mask << 16) | j_tile_id;
+  * culling happens at TWO granularities - tile pairs, plus a 16-bit
+    mask of which 8-atom j-groups are in reach (the analog of the
+    reference's half-shell cell iteration, spatial_grid.rs:174-192).
+    The PRODUCTION path computes it ON DEVICE (build_jlist_banded: the
+    host only centers/sorts/quantizes); the host packers
+    (pack_structures) produce the same format for structures the banded
+    path can't take (>127 tiles, non-unique gids, >1300 A extent).
+    Each jlist entry is a u32: (group_mask << 16) | j_tile_id;
   * per admitted j-tile the kernel DMAs its planes into VMEM and runs a
     BRANCHLESS scalar compaction of the mask into a tiny SMEM list of
     admitted group indices (store-then-conditionally-advance - no
@@ -29,14 +31,21 @@ src/structures/spatial_grid.rs):
     retired ~4 vregs/cycle by the VPU's 4 ALUs;
   * double-buffered DMA overlaps the next j-tile fetch with compute.
 
-Measured dead-ends (scripts/kernel_experiments.py and
-scripts/r3_kernel_variants.py, TPU v5e): a max-plus reformulation via
-separable dots (dot(s, c_i - c_j) = SXI - SXJ on the MXU) costs MORE
-because the per-j lane-broadcast of SXJ[:, j] touches all occlusion
-vregs; FMA reordering is 1.7x slower than the mul/add chain; bfloat16
-margins are 17% SLOWER than f32 (the 4-ALU VPU does not double bf16
-throughput here) while costing accuracy; lax.cond-based group/atom
-early-outs all lose to branchless streaming plus host group masks.
+Measured dead-ends (scripts/kernel_experiments.py,
+scripts/r3_kernel_variants.py, scripts/r3_maxplus.py; TPU v5e): a
+max-plus reformulation via separable dots (dot(s, c_i - c_j) = SXI - TJ
+off the MXU, 2 wide ops/j) ran 1.6x SLOWER than the 7-op chain - the
+per-group dynamic lane roll + VMEM round-trips for TJ columns cost more
+than the saved arithmetic; FMA reordering is 1.7x slower than the
+mul/add chain; bfloat16 margins are 17% SLOWER than f32 (the VPU does
+not double bf16 throughput here) while costing accuracy; lax.cond-based
+group/atom early-outs all lose to branchless streaming plus group
+masks; 4-atom j-groups (32-bit masks in a parallel SMEM array, 10%
+fewer streamed j-atoms - measured 1,143 vs 1,023 per atom) ran 1.45x
+SLOWER - per-group fori/prep overhead amortizes over 4 instead of 8
+j-atoms and swamps the candidate saving.  The per-atom-in-reach floor
+for 128-atom i-tiles is 829 streamed j/atom; the shipped kernel streams
+~1,140 (2.11-3.05 Matoms/s kernel-only depending on tunnel window).
 
 Everything after the per-structure packing runs in one pallas_call per
 chunk; HBM traffic is one 64KB read per active tile pair plus the output.

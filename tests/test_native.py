@@ -74,3 +74,39 @@ def test_native_error_on_missing_file():
 
     with pytest.raises(StructureReadError):
         read_structure("/nonexistent/file.pdb", native=True)
+
+
+def test_lean_parse_coords_match_full():
+    """fastparse_file_lean skips occupancy/b-factor parsing but must
+    produce identical coordinates/topology; the occupancy-radii path
+    (which needs the column) must keep using the FULL parser."""
+    import pathlib
+
+    import numpy as np
+
+    from rustsasa_tpu.native import load_library
+
+    lib = load_library()
+    if lib is None or not hasattr(lib, "fastparse_file_lean"):
+        pytest.skip("native library unavailable")
+    # Use PDB fixtures with real occupancy values (CIF always parses fully).
+    pdb = pathlib.Path(__file__).parent / "data" / "freesasa_pdbs"
+    cand = sorted(pdb.glob("*.pdb*"))
+    assert cand, "no pdb fixtures"
+    for p in cand[:3]:
+        full = lib.fastparse_file(str(p).encode())
+        lean = lib.fastparse_file_lean(str(p).encode())
+        try:
+            n = int(full.contents.n)
+            assert int(lean.contents.n) == n
+            cf = np.ctypeslib.as_array(full.contents.coords, shape=(n, 3))
+            cl = np.ctypeslib.as_array(lean.contents.coords, shape=(n, 3))
+            np.testing.assert_array_equal(cf, cl)
+            sf = np.ctypeslib.as_array(full.contents.serial, shape=(n,))
+            sl = np.ctypeslib.as_array(lean.contents.serial, shape=(n,))
+            np.testing.assert_array_equal(sf, sl)
+            ol = np.ctypeslib.as_array(lean.contents.occupancy, shape=(n,))
+            assert (ol == 1.0).all()  # defaults, not parsed
+        finally:
+            lib.fastparse_free(full)
+            lib.fastparse_free(lean)
