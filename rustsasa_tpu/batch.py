@@ -229,9 +229,15 @@ def process_directory(
     # AND wave w+1 packs/dispatches on the main thread (enqueue/collect
     # split); emits drain asynchronously behind everything.  Wall time is
     # max(device, host) rather than their sum.
-    waves = [
-        files[lo:lo + wave_size] for lo in range(0, len(files), wave_size)
+    # Ramped first wave: half size, so the first device dispatch happens
+    # after ~half the parse lead-in.  The slightly higher chunk-bucket
+    # padding on one wave costs less than the pipeline ramp it removes.
+    first = min(len(files), max(1, wave_size // 2))
+    waves = [files[0:first]] + [
+        files[lo:lo + wave_size]
+        for lo in range(first, len(files), wave_size)
     ]
+    waves = [w for w in waves if w]
 
     emit_futures: list = []
 
@@ -262,10 +268,11 @@ def process_directory(
         # tasks submitted to `pool` below.  Peak memory is one SoA
         # selection per file (~16B/atom), fine at proteome scale.
         load_futures = [load_pool.submit(load, p) for p in files]
-        wave_futures = [
-            load_futures[lo:lo + wave_size]
-            for lo in range(0, len(files), wave_size)
-        ]
+        wave_futures = []
+        lo = 0
+        for wv in waves:  # same boundaries as `waves` (incl. the ramp)
+            wave_futures.append(load_futures[lo:lo + len(wv)])
+            lo += len(wv)
         in_flight = None  # (good, pending-handle) of the previous wave
         for w in range(len(waves)):
             with stagestats.stage("load_wait"):
