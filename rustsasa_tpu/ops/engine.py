@@ -498,12 +498,25 @@ def _compute_fused(
         # only centers/sorts/quantizes, and no j-lists ride the link.
         # Requirements: per-atom-unique gids (slot index becomes the
         # exclusion id) and every structure small enough for a W bucket.
+        # Ineligible structures (alt-loc gid collisions, >127-tile
+        # giants) re-flush as their OWN sub-chunk on the host-cull path,
+        # so one exotic file never drags a whole chunk off the fast path.
+        eligible = [
+            k for k, t in enumerate(triples)
+            if -(-t[0].shape[0] // fused_kernel.ATOM_TILE)
+            <= fused_kernel.W_BUCKETS[-1] and _unique_gids(t[2])
+        ]
+        if 0 < len(eligible) < len(chunk):
+            rest = [
+                chunk[k] for k in range(len(chunk)) if k not in set(eligible)
+            ]
+            flush([chunk[k] for k in eligible])
+            flush(rest)
+            return
         max_nt = max(
             -(-t[0].shape[0] // fused_kernel.ATOM_TILE) for t in triples
         )
-        if max_nt <= fused_kernel.W_BUCKETS[-1] and all(
-            _unique_gids(t[2]) for t in triples
-        ):
+        if len(eligible) == len(chunk):
             with stagestats.stage("pack"):
                 qout = fused_kernel.pack_structures_q16(triples, probe)
             if qout is not None:

@@ -189,3 +189,23 @@ def test_banded_multi_tile_band_widths():
     # Coordinate quantization can flip boundary sphere points; allow a
     # couple of point-flips per atom (area/point ~ 1.4 A^2).
     np.testing.assert_allclose(out, ref, atol=3.0)
+
+
+def test_mixed_eligibility_batch_splits_sub_chunks():
+    # A batch mixing banded-eligible structures with one alt-loc-style
+    # gid-collision structure: the engine must split the chunk so the
+    # eligible ones keep the banded path, and ALL results stay correct.
+    structures = []
+    for i, n in enumerate([150, 260]):
+        coords, radii = random_cluster(n, seed=60 + i)
+        structures.append((coords, radii, None))
+    coords, radii = random_cluster(120, seed=66)
+    gids = np.arange(120, dtype=np.int32)
+    gids[1] = gids[0]  # two atoms share an exclusion id
+    structures.insert(1, (coords, radii, gids))
+    xla = BatchedSasaEngine(SasaParams(), backend="xla").compute(structures)
+    fused = BatchedSasaEngine(
+        SasaParams(), backend="fused_interpret", readback_dtype=jnp.float32
+    ).compute(structures)
+    for a, b in zip(xla, fused):
+        np.testing.assert_allclose(a, b, atol=3.0)
