@@ -222,23 +222,6 @@ def process_directory(
         except Exception as e:  # noqa: BLE001 - per-file isolation
             return f"Error processing {os.path.basename(path)}: {e}", 0.0
 
-    # Waves bound peak memory on huge corpora and keep the device fed with
-    # large bucketed batches (the TPU analog of the reference's
-    # rayon-over-files loop, main.rs:375).  The stages pipeline fully:
-    # wave w's device queue drains while wave w+1 parses on host threads
-    # AND wave w+1 packs/dispatches on the main thread (enqueue/collect
-    # split); emits drain asynchronously behind everything.  Wall time is
-    # max(device, host) rather than their sum.
-    # Ramped first wave: half size, so the first device dispatch happens
-    # after ~half the parse lead-in.  The slightly higher chunk-bucket
-    # padding on one wave costs less than the pipeline ramp it removes.
-    first = min(len(files), max(1, wave_size // 2))
-    waves = [files[0:first]] + [
-        files[lo:lo + wave_size]
-        for lo in range(first, len(files), wave_size)
-    ]
-    waves = [w for w in waves if w]
-
     emit_futures: list = []
 
     def drain_emits(only_done: bool) -> None:
@@ -268,44 +251,78 @@ def process_directory(
         # tasks submitted to `pool` below.  Peak memory is one SoA
         # selection per file (~16B/atom), fine at proteome scale.
         load_futures = [load_pool.submit(load, p) for p in files]
-        wave_futures = []
-        lo = 0
-        for wv in waves:  # same boundaries as `waves` (incl. the ramp)
-            wave_futures.append(load_futures[lo:lo + len(wv)])
-            lo += len(wv)
-        in_flight = None  # (good, pending-handle) of the previous wave
-        for w in range(len(waves)):
-            with stagestats.stage("load_wait"):
-                loaded = [f.result() for f in wave_futures[w]]
-            good = [(p, h) for (p, h, err) in loaded if err is None]
-            for _, _, err in loaded:
-                if err is not None:
-                    report.errors.append(err)
-                    bar.tick()
-            triples = [triple(h) for (_, h) in good]
-            # Pack + dispatch on a worker thread: the C++ packer releases
-            # the GIL, so wave w's packing overlaps wave w-1's device
-            # readback below (on this 2-core host the packer and the
-            # readback wait are the two largest main-thread stages).
-            pending = pool.submit(engine.enqueue, triples)
-            if in_flight is not None:
-                prev_good, prev_pending = in_flight
-                with stagestats.stage("collect"):
-                    sasas = prev_pending.result().collect()
-                emit_futures.extend(
-                    pool.submit(emit, args)
-                    for args in zip(prev_good, sasas)
-                )
-            in_flight = (good, pending)
-            drain_emits(only_done=True)
-        if in_flight is not None:
-            prev_good, prev_pending = in_flight
+
+        # Streaming chunker: files are consumed in PARSE-COMPLETION order
+        # (no wave barrier waiting on the slowest file) and dispatched the
+        # moment a full device chunk's worth of atom-slots has
+        # accumulated - every dispatch is an exactly-full chunk except
+        # the last.  Pack+dispatch runs on a worker thread (the C++
+        # packer releases the GIL); at most two dispatches stay in
+        # flight, so the device queue keeps one chunk of lookahead while
+        # results stream back.  This is the TPU analog of the reference's
+        # rayon-over-files loop (main.rs:375): wall time is
+        # max(device, host) rather than their sum.
+        from collections import deque
+        from concurrent.futures import as_completed
+
+        from .ops.engine import CHUNK_SLOT_BUDGET
+
+        inflight: deque = deque()  # (good_batch, enqueue-future)
+        batch_good: list = []
+        batch_slots = 0
+        # Ramped thresholds: the first two dispatches fill the 0.5M- and
+        # 1M-slot chunk buckets exactly, so the device starts ~4x sooner
+        # than waiting for a full 2M chunk and no padding is wasted.
+        ramp = deque([524288, 1048576])
+        threshold = min(ramp.popleft(), CHUNK_SLOT_BUDGET)
+
+        def dispatch_batch():
+            nonlocal batch_good, batch_slots, threshold
+            if not batch_good:
+                return
+            triples = [triple(h) for (_, h) in batch_good]
+            inflight.append(
+                (batch_good, pool.submit(engine.enqueue, triples))
+            )
+            batch_good, batch_slots = [], 0
+            threshold = (
+                min(ramp.popleft(), CHUNK_SLOT_BUDGET)
+                if ramp else CHUNK_SLOT_BUDGET
+            )
+
+        def collect_oldest():
+            prev_good, fut = inflight.popleft()
             with stagestats.stage("collect"):
-                sasas = prev_pending.result().collect()
+                sasas = fut.result().collect()
             emit_futures.extend(
                 pool.submit(emit, args)
                 for args in zip(prev_good, sasas)
             )
+
+        for f in as_completed(load_futures):
+            with stagestats.stage("load_wait"):
+                path, h, err = f.result()
+            if err is not None:
+                report.errors.append(err)
+                bar.tick()
+                continue
+            n = (
+                h.coords.shape[0]
+                if isinstance(h, NativeSelection)
+                else h[1].coords.shape[0]
+            )
+            slots = max(-(-max(n, 1) // 128) * 128, 128)
+            if batch_good and batch_slots + slots > threshold:
+                dispatch_batch()
+                while len(inflight) > 2:
+                    collect_oldest()
+                drain_emits(only_done=True)
+            batch_good.append((path, h))
+            batch_slots += slots
+        dispatch_batch()
+        while inflight:
+            collect_oldest()
+            drain_emits(only_done=True)
         with stagestats.stage("emit_wait"):
             drain_emits(only_done=False)
 

@@ -413,7 +413,13 @@ def calculate_sasa_internal(
     return np.asarray(sasa[:n])
 
 
-_FUSED_ATOM_BUDGET = 2_000_000  # atom-slots per fused kernel launch
+# Atom-slots per fused kernel launch: exactly the largest chunk bucket,
+# so a budget-full chunk pads ZERO slots.
+_FUSED_ATOM_BUDGET = 2_097_152
+
+# Public alias for pipeline callers (batch.py streams dispatches at
+# exactly this granularity so every chunk fills its bucket).
+CHUNK_SLOT_BUDGET = _FUSED_ATOM_BUDGET
 
 # Atom-slot buckets for fused chunks: every chunk pads to one of these so
 # the whole corpus reuses a handful of compiled shapes.  The host link is
