@@ -123,15 +123,15 @@ def main() -> int:
     )
     log(f"warmup pass took {time.time() - t0:.1f}s")
 
-    # Timed passes: 3 runs, median reported - the reference's protocol
-    # (hyperfine, 3 runs + 3 warmup, README.md:163).  Multiple runs
-    # matter doubly here: the TPU tunnel's sustained bandwidth varies
-    # >10x between windows (PROFILE.md), so a single pass conflates code
-    # speed with link congestion.
+    # Timed passes: 5 runs, median reported (the reference's protocol is
+    # hyperfine with 3 runs + 3 warmup, README.md:163; two extra runs
+    # here because the TPU tunnel's sustained bandwidth varies >10x
+    # between windows - PROFILE.md - and a single pass conflates code
+    # speed with link congestion).
     from rustsasa_tpu.utils import stagestats
 
     runs = []
-    for i in range(3):
+    for i in range(5):
         if os.path.isdir(OUTPUT_DIR):
             shutil.rmtree(OUTPUT_DIR)
         stagestats.reset()

