@@ -156,10 +156,19 @@ def process_directory(
     )
     level_str = options.level.value
 
+    # Backpressure: loads park here until emits release permits, so the
+    # parsed-but-unwritten backlog (one SoA selection per file) stays
+    # bounded on corpora far larger than RAM would allow.  4096 files
+    # ~= 4-5 device chunks of lookahead at proteome file sizes.
+    import threading
+
+    backlog = threading.BoundedSemaphore(4096)
+
     # Parse + select on host worker threads (native parser releases the GIL).
     # Returns (path, handle, err): handle is a NativeSelection or a
     # (structure, selection) pair for the Python route.
     def load(path):
+        backlog.acquire()
         if use_native:
             try:
                 ns = native_process_file(
@@ -191,6 +200,12 @@ def process_directory(
     # (error | None, emitted_atom_area): the area of a file counts toward
     # report.total_area only when its output was actually written.
     def emit(args):
+        try:
+            return _emit(args)
+        finally:
+            backlog.release()
+
+    def _emit(args):
         (path, handle), atom_sasa = args
         base = os.path.basename(path)
         if base.endswith(".gz"):
@@ -299,32 +314,45 @@ def process_directory(
                 for args in zip(prev_good, sasas)
             )
 
-        for f in as_completed(load_futures):
-            with stagestats.stage("load_wait"):
-                path, h, err = f.result()
-            if err is not None:
-                report.errors.append(err)
-                bar.tick()
-                continue
-            n = (
-                h.coords.shape[0]
-                if isinstance(h, NativeSelection)
-                else h[1].coords.shape[0]
-            )
-            slots = max(-(-max(n, 1) // 128) * 128, 128)
-            if batch_good and batch_slots + slots > threshold:
-                dispatch_batch()
-                while len(inflight) > 2:
-                    collect_oldest()
+        try:
+            for f in as_completed(load_futures):
+                with stagestats.stage("load_wait"):
+                    path, h, err = f.result()
+                if err is not None:
+                    backlog.release()  # no emit will run for this file
+                    report.errors.append(err)
+                    bar.tick()
+                    continue
+                n = (
+                    h.coords.shape[0]
+                    if isinstance(h, NativeSelection)
+                    else h[1].coords.shape[0]
+                )
+                slots = max(-(-max(n, 1) // 128) * 128, 128)
+                if batch_good and batch_slots + slots > threshold:
+                    dispatch_batch()
+                    while len(inflight) > 2:
+                        collect_oldest()
+                    drain_emits(only_done=True)
+                batch_good.append((path, h))
+                batch_slots += slots
+            dispatch_batch()
+            while inflight:
+                collect_oldest()
                 drain_emits(only_done=True)
-            batch_good.append((path, h))
-            batch_slots += slots
-        dispatch_batch()
-        while inflight:
-            collect_oldest()
-            drain_emits(only_done=True)
-        with stagestats.stage("emit_wait"):
-            drain_emits(only_done=False)
+            with stagestats.stage("emit_wait"):
+                drain_emits(only_done=False)
+        except BaseException:
+            # Unblock any loads parked on backpressure so the pool
+            # shutdown can't hang behind this exception.
+            for lf in load_futures:
+                lf.cancel()
+            for _ in range(2 * len(files) + 8):
+                try:
+                    backlog.release()
+                except ValueError:
+                    break
+            raise
 
     report.elapsed_s = time.time() - t0
     return report
