@@ -3,9 +3,12 @@
 TPU-native redesign of the reference's batch mode (reference:
 src/main.rs:341-480, rayon par_iter over files with inner threads=1):
 
-  host thread pool: parse + atom selection  (I/O + numpy, overlapped)
-      -> size-bucketed device batches (BatchedSasaEngine, one chip fed
-         with many structures per dispatch)
+  host thread pool: parse + atom selection  (all files submitted
+      upfront, consumed in completion order, backpressure-bounded)
+      -> streaming chunker: dispatches an exactly-full device chunk the
+         moment enough atom-slots have parsed (BatchedSasaEngine, one
+         chip fed thousands of structures per dispatch; <= 2 chunks in
+         flight)
       -> host thread pool: aggregation + serialization + writes
 
 Per-file error isolation is preserved: one bad structure never aborts the
@@ -109,7 +112,6 @@ def process_directory(
     workers: int | None = None,
     progress: bool = True,
     engine: BatchedSasaEngine | None = None,
-    wave_size: int = 1024,
     file_filter: set[str] | None = None,
 ) -> BatchReport:
     """Process every structure file in input_dir -> output_dir.
