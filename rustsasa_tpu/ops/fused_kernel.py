@@ -34,9 +34,11 @@ src/structures/spatial_grid.rs):
 Measured dead-ends (scripts/kernel_experiments.py,
 scripts/r3_kernel_variants.py, scripts/r3_maxplus.py; TPU v5e): a
 max-plus reformulation via separable dots (dot(s, c_i - c_j) = SXI - TJ
-off the MXU, 2 wide ops/j) ran 1.6x SLOWER than the 7-op chain - the
-per-group dynamic lane roll + VMEM round-trips for TJ columns cost more
-than the saved arithmetic; FMA reordering is 1.7x slower than the
+off the MXU, 2 wide ops/j) ran 1.6x SLOWER than the 7-op chain with
+dynamic lane rolls (mp_rot, 1.90 Matoms/s) and 1.3x slower with fully
+static 16-way pl.when group guards + VMEM occlusion accumulator
+(mp_static, 2.38) - column extraction, conds and RMW round-trips all
+cost more than the saved arithmetic; FMA reordering is 1.7x slower than the
 mul/add chain; bfloat16 margins are 17% SLOWER than f32 (the VPU does
 not double bf16 throughput here) while costing accuracy; lax.cond-based
 group/atom early-outs all lose to branchless streaming plus group

@@ -1,4 +1,4 @@
-"""Round-3 kernel study #2: cut the per-executed-j op count via MXU.
+"""Round-3 kernel study #2/#3: cut the per-executed-j op count via MXU.
 
 The production inner loop spends 7 [P,A] vector ops per streamed j-atom
 (3 mul + 2 add for dot(s, v), sub, max).  The margin decomposes as
@@ -10,14 +10,17 @@ where LIMT (per tile-pair, [A_j, A_i]) and TJ ([P, A_j]) and SXI (per
 i-tile, [P, A_i]) all come off the MXU (K=3 contractions - nearly free,
 and the MXU is otherwise idle).  SXI is j-independent, so it hoists out
 of the max:  occ_pre = max_j (LIMT[j,:] + TJ[:,j]);  occluded iff
-occ_pre > SXI.  The inner loop is then ONE broadcast-add + ONE max per j.
+occ_pre > SXI.  The inner loop is then ~3 wide ops per j... IF the
+per-j column extraction of TJ is cheap.
 
-The catch is the per-j extraction of TJ's column j (lane-dynamic).  Two
-schemes are measured:
-  mp_static: no glist; 16 static 8-atom groups, each guarded by
-             pl.when(mask bit) - static lane slices, but ~16 conds/pair.
-  mp_rot:    glist compaction as production; per group one dynamic
-             lane-roll of TJ by 8g, then static column extracts.
+Variants measured (results recorded in ops/fused_kernel.py docstring):
+  mp_rot:    glist compaction + one dynamic lane-roll of TJ per group,
+             static column extracts.  MEASURED 1.90 vs base 3.05
+             Matoms/s - dynamic roll + VMEM round-trips lose.
+  mp_static: NO glist; 16 static 8-atom groups each guarded by
+             pl.when(mask bit), occlusion accumulated in VMEM scratch.
+             All TJ/LIMT slices are static.  Costs: ~16 conds/pair +
+             a [P,A] VMEM RMW per admitted group.
 
 Outputs are compared against the production kernel (count deltas; the
 matmul decomposition reorders f32 arithmetic, so boundary points may
@@ -60,115 +63,88 @@ def sync():
     np.asarray(_tiny(np.zeros(8, np.float32)))
 
 
-def make_maxplus(variant):
-    def kern(sphere_ref, planes_i_ref, jlist_ref, planes_t_hbm_ref,
-             out_ref, jbuf, limt_buf, tj_buf, glist_ref, sems):
-        a = planes_i_ref.shape[1]
-        p = sphere_ref.shape[0]
-        ci = planes_i_ref[0:3, :]  # [3, A]
-        reffi = planes_i_ref[3:4, :]
-        gidi = planes_i_ref[4:5, :]
-        r2i = reffi * reffi
-        inv2ri = 0.5 / jnp.maximum(reffi, 1e-6)
-        s3 = sphere_ref[:, 0:3]  # [P, 3]
-        sxi = jax.lax.dot_general(
-            s3, ci, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )  # [P, A]
-        ci2 = jnp.sum(ci * ci, axis=0, keepdims=True)  # [1, A]
+def mp_static_kernel(sphere_ref, planes_i_ref, jlist_ref, planes_t_hbm_ref,
+                     out_ref, jbuf, occ_buf, sems):
+    a = planes_i_ref.shape[1]
+    p = sphere_ref.shape[0]
+    ci = planes_i_ref[0:3, :]  # [3, A]
+    reffi = planes_i_ref[3:4, :]
+    gidi = planes_i_ref[4:5, :]
+    r2i = reffi * reffi
+    inv2ri = 0.5 / jnp.maximum(reffi, 1e-6)
+    s3 = sphere_ref[:, 0:3]  # [P, 3]
+    sxi = jax.lax.dot_general(
+        s3, ci, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=HI,
+    )  # [P, A]
+    ci2 = jnp.sum(ci * ci, axis=0, keepdims=True)  # [1, A]
 
-        jrow = jax.lax.rem(pl.program_id(0), 8)
-        cnt = jlist_ref[jrow, 0]
+    occ_buf[...] = jnp.full((p, a), _NEG_BIG)
 
-        def start_dma(slot, idx):
-            entry = jlist_ref[jrow, idx + 1]
-            j = jax.lax.bitwise_and(entry, 0xFFFF)
-            return pltpu.make_async_copy(
-                planes_t_hbm_ref.at[pl.ds(j * a, a), :],
-                jbuf.at[pl.ds(slot * a, a), :],
-                sems.at[slot],
-            )
+    jrow = jax.lax.rem(pl.program_id(0), 8)
+    cnt = jlist_ref[jrow, 0]
 
-        @pl.when(cnt > 0)
-        def _():
-            start_dma(0, 0).start()
-
-        def process(idx, occ):
-            slot = jax.lax.rem(idx, 2)
-
-            @pl.when(idx + 1 < cnt)
-            def _():
-                start_dma(1 - slot, idx + 1).start()
-
-            entry = jlist_ref[jrow, idx + 1]
-            mask = jax.lax.shift_right_logical(entry, 16)
-            pos = jnp.int32(0)
-            if variant == "mp_rot":
-                for g in range(16):
-                    glist_ref[pos] = jnp.int32(g)
-                    pos = pos + jax.lax.bitwise_and(
-                        jax.lax.shift_right_logical(mask, g), 1
-                    )
-
-            start_dma(slot, idx).wait()
-            base = slot * a
-            rows = jbuf[pl.ds(base, a), :]  # [A_j, 128]
-            cj = rows[:, 0:3]
-            rj = rows[:, 3:4]
-            gk = rows[:, 4:5]
-            cj2 = jnp.sum(cj * cj, axis=1, keepdims=True)  # [A_j, 1]
-            cji = jax.lax.dot_general(
-                cj, ci, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )  # [A_j, A_i]
-            v2t = cj2 - 2.0 * cji + ci2
-            limt = (rj * rj - v2t - r2i) * inv2ri
-            limt = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, limt)
-            tj = jax.lax.dot_general(
-                s3, cj, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )  # [P, A_j]
-
-            if variant == "mp_static":
-                for g in range(16):
-                    @pl.when(jax.lax.bitwise_and(
-                        jax.lax.shift_right_logical(mask, g), 1) == 1)
-                    def _(g=g):
-                        acc = occ_buf_read()
-                        for r in range(8):
-                            c = g * 8 + r
-                            acc = jnp.maximum(
-                                acc,
-                                limt[c:c + 1, :] + tj[:, c:c + 1],
-                            )
-                        occ_buf_write(acc)
-                return occ
-
-            # mp_rot: compacted glist + dynamic lane roll per group
-            limt_buf[...] = limt
-            tj_buf[...] = tj
-
-            def kgroup(k, occ):
-                g = glist_ref[k]
-                tjg = pltpu.roll(tj_buf[...], shift=-8 * g, axis=1)
-                lim8 = limt_buf[pl.ds(g * 8, 8), :]  # [8, A]
-                for r in range(8):
-                    occ = jnp.maximum(
-                        occ, lim8[r:r + 1, :] + tjg[:, r:r + 1]
-                    )
-                return occ
-
-            return jax.lax.fori_loop(0, pos, kgroup, occ)
-
-        occ0 = jnp.full((p, a), _NEG_BIG)
-        occ = jax.lax.fori_loop(0, cnt, process, occ0)
-        pv = sphere_ref[:, 3:4] * jnp.ones((1, a), dtype=jnp.float32)
-        out_ref[...] = jnp.sum(
-            jnp.where((occ - sxi <= 0.0) & (pv > 0.0), 1.0, 0.0),
-            axis=0, keepdims=True,
+    def start_dma(slot, idx):
+        entry = jlist_ref[jrow, idx + 1]
+        j = jax.lax.bitwise_and(entry, 0xFFFF)
+        return pltpu.make_async_copy(
+            planes_t_hbm_ref.at[pl.ds(j * a, a), :],
+            jbuf.at[pl.ds(slot * a, a), :],
+            sems.at[slot],
         )
 
-    return kern
+    @pl.when(cnt > 0)
+    def _():
+        start_dma(0, 0).start()
+
+    def process(idx, carry):
+        slot = jax.lax.rem(idx, 2)
+
+        @pl.when(idx + 1 < cnt)
+        def _():
+            start_dma(1 - slot, idx + 1).start()
+
+        entry = jlist_ref[jrow, idx + 1]
+        mask = jax.lax.shift_right_logical(entry, 16)
+        start_dma(slot, idx).wait()
+        base = slot * a
+        rows = jbuf[pl.ds(base, a), :]  # [A_j, 128]
+        cj = rows[:, 0:3]
+        rj = rows[:, 3:4]
+        gk = rows[:, 4:5]
+        cj2 = jnp.sum(cj * cj, axis=1, keepdims=True)  # [A_j, 1]
+        cji = jax.lax.dot_general(
+            cj, ci, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [A_j, A_i]
+        v2t = cj2 - 2.0 * cji + ci2
+        limt = (rj * rj - v2t - r2i) * inv2ri
+        limt = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, limt)
+        tj = jax.lax.dot_general(
+            s3, cj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )  # [P, A_j]
+
+        for g in range(16):
+            @pl.when(jax.lax.bitwise_and(
+                jax.lax.shift_right_logical(mask, g), 1) == 1)
+            def _(g=g):
+                acc = occ_buf[...]
+                for r in range(8):
+                    c = g * 8 + r
+                    acc = jnp.maximum(
+                        acc, limt[c:c + 1, :] + tj[:, c:c + 1]
+                    )
+                occ_buf[...] = acc
+        return carry
+
+    jax.lax.fori_loop(0, cnt, process, jnp.int32(0))
+    occ = occ_buf[...] - sxi
+    pv = sphere_ref[:, 3:4] * jnp.ones((1, a), dtype=jnp.float32)
+    out_ref[...] = jnp.sum(
+        jnp.where((occ <= 0.0) & (pv > 0.0), 1.0, 0.0),
+        axis=0, keepdims=True,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("variant",))
@@ -184,7 +160,7 @@ def run_variant(planes, jlist, sphere128, *, variant):
     if jlist.shape[0] != t_pad:
         jlist = jnp.pad(jlist, ((0, t_pad - jlist.shape[0]), (0, 0)))
     return pl.pallas_call(
-        make_maxplus(variant),
+        mp_static_kernel,
         grid=(t,),
         in_specs=[
             pl.BlockSpec((p, 128), lambda i: (0, 0)),
@@ -197,9 +173,7 @@ def run_variant(planes, jlist, sphere128, *, variant):
         out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2 * ATOM_TILE, 128), jnp.float32),
-            pltpu.VMEM((ATOM_TILE, 128), jnp.float32),   # limt
-            pltpu.VMEM((p, 128), jnp.float32),           # tj
-            pltpu.SMEM((16,), jnp.int32),
+            pltpu.VMEM((p, ATOM_TILE), jnp.float32),  # occ accumulator
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(sphere128, planes, jlist, planes_t)
@@ -229,13 +203,15 @@ def main():
     planes[2, :m] = q[2] * par[:, 3] + par[:, 2]
     planes[3, :m] = q[3] * np.float32(1.0 / fk.R_QUANT)
     qvalid = planes[3] > 0
-    planes[4, :m] = np.where(qvalid[:m], np.arange(m, dtype=np.float32) + 1.0, 0.0)
+    planes[4, :m] = np.where(
+        qvalid[:m], np.arange(m, dtype=np.float32) + 1.0, 0.0
+    )
     tmeta_p = np.zeros((M_PAD // 128, 2), np.int32)
     tmeta_p[: m // 128] = tmeta
 
-    jl = jax.jit(lambda p_, v_, t_: fk.build_jlist_banded(p_, v_, t_, w=32))(
-        planes, qvalid, tmeta_p
-    )
+    jl = jax.jit(
+        lambda p_, v_, t_: fk.build_jlist_banded(p_, v_, t_, w=32)
+    )(planes, qvalid, tmeta_p)
     d_planes = jax.device_put(planes)
     d_jlist = jax.device_put(jl)
     sphere = np.zeros((104, 128), np.float32)
@@ -247,7 +223,7 @@ def main():
     sync()
 
     ref = None
-    for variant in ("base", "mp_rot", "base", "mp_rot"):
+    for variant in ("base", "mp_static", "base", "mp_static"):
         t0 = time.time()
         out = run_variant(d_planes, d_jlist, d_sphere, variant=variant)
         counts = np.asarray(out)
