@@ -80,6 +80,21 @@ struct Interner {
     mask = nmask;
   }
 
+  // Direct map for single-character fields (chain id, alt loc, icode):
+  // one array read instead of hash+probe.  ' ' interns the empty string
+  // (the trimmed value), matching intern(trim(field)) exactly.
+  int16_t char_code[256];
+  Interner() { for (int i = 0; i < 256; i++) char_code[i] = -1; }
+
+  int32_t intern_char(char c) {
+    int16_t cc = char_code[static_cast<uint8_t>(c)];
+    if (cc >= 0) return cc;
+    std::string_view sv(&c, (c == ' ' || c == '\t' || c == '\r') ? 0 : 1);
+    int32_t code = intern(sv);
+    char_code[static_cast<uint8_t>(c)] = static_cast<int16_t>(code);
+    return code;
+  }
+
   int32_t intern(std::string_view s) {
     uint64_t key = pack(s);
     if (key == last_key) return last_code;
@@ -234,6 +249,35 @@ inline float parse_fixed_float(const char* s, int w, double dflt) {
   return static_cast<float>(parse_float(std::string_view(s, w), dflt));
 }
 
+// PDB coordinates are %8.3f: right-justified, ALWAYS 3 decimals, so the
+// dot sits at index 4 of the 8-char window.  ip + fp/1000.0 is the exact
+// arithmetic of the generic path (scale = 10^3), so results match
+// bit-for-bit; any other layout falls back.
+inline float parse_coord8(const char* s, double dflt) {
+  if (s[4] != '.') return parse_fixed_float(s, 8, dflt);
+  const char* p = s;
+  const char* ipend = s + 4;
+  while (p < ipend && *p == ' ') ++p;
+  bool neg = false;
+  if (p < ipend && *p == '-') { neg = true; ++p; }
+  else if (p < ipend && *p == '+') ++p;
+  int64_t ip = 0;
+  while (p < ipend) {
+    unsigned dg = static_cast<unsigned>(*p - '0');
+    if (dg > 9u) return parse_fixed_float(s, 8, dflt);
+    ip = ip * 10 + dg;
+    ++p;
+  }
+  unsigned d0 = static_cast<unsigned>(s[5] - '0');
+  unsigned d1 = static_cast<unsigned>(s[6] - '0');
+  unsigned d2 = static_cast<unsigned>(s[7] - '0');
+  if (d0 > 9u || d1 > 9u || d2 > 9u)
+    return parse_fixed_float(s, 8, dflt);
+  int64_t fp = (int64_t)d0 * 100 + d1 * 10 + d2;
+  double v = static_cast<double>(ip) + static_cast<double>(fp) / 1000.0;
+  return static_cast<float>(neg ? -v : v);
+}
+
 inline int64_t parse_fixed_int(const char* s, int w, int64_t dflt) {
   const char* p = s;
   const char* end = s + w;
@@ -294,19 +338,23 @@ void parse_pdb_line(Builder& b, std::string_view line, bool hetero,
   }
   std::string_view raw_name = field(line, 12, 16);
   b.name_code.push_back(b.name_tab.intern(trim(raw_name)));
-  b.alt_code.push_back(b.alt_tab.intern(trim(field(line, 16, 17))));
-  b.resname_code.push_back(b.resname_tab.intern(trim(field(line, 17, 20))));
-  b.chain_code.push_back(b.chain_tab.intern(trim(field(line, 21, 22))));
   if (fixed) {
+    b.alt_code.push_back(b.alt_tab.intern_char(d[16]));
+    b.resname_code.push_back(b.resname_tab.intern(trim(field(line, 17, 20))));
+    b.chain_code.push_back(b.chain_tab.intern_char(d[21]));
     b.res_serial.push_back(parse_fixed_int(d + 22, 4, 0));
+    b.icode_code.push_back(b.icode_tab.intern_char(d[26]));
   } else {
+    b.alt_code.push_back(b.alt_tab.intern(trim(field(line, 16, 17))));
+    b.resname_code.push_back(b.resname_tab.intern(trim(field(line, 17, 20))));
+    b.chain_code.push_back(b.chain_tab.intern(trim(field(line, 21, 22))));
     b.res_serial.push_back(parse_int(field(line, 22, 26), 0));
+    b.icode_code.push_back(b.icode_tab.intern(trim(field(line, 26, 27))));
   }
-  b.icode_code.push_back(b.icode_tab.intern(trim(field(line, 26, 27))));
   if (fixed) {
-    b.coords.push_back(parse_fixed_float(d + 30, 8, 0));
-    b.coords.push_back(parse_fixed_float(d + 38, 8, 0));
-    b.coords.push_back(parse_fixed_float(d + 46, 8, 0));
+    b.coords.push_back(parse_coord8(d + 30, 0));
+    b.coords.push_back(parse_coord8(d + 38, 0));
+    b.coords.push_back(parse_coord8(d + 46, 0));
   } else {
     b.coords.push_back(static_cast<float>(parse_float(field(line, 30, 38), 0)));
     b.coords.push_back(static_cast<float>(parse_float(field(line, 38, 46), 0)));
