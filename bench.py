@@ -163,6 +163,28 @@ def main() -> int:
     elapsed = runs[len(runs) // 2]
     log(f"median {elapsed:.2f}s (best {runs[0]:.2f}s, worst {runs[-1]:.2f}s)")
 
+    # TPU-path quality gate artifact: the 88-PDB FreeSASA RMSE gate
+    # through the same production backend the timed runs used, pinned per
+    # round (reference: tests/quality.rs:17-18; the pytest gate covers
+    # only the CPU/XLA backend).
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        from quality_gate import run_gate
+
+        gate = run_gate()
+        gate_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benches", "artifacts", "quality_latest.json",
+        )
+        with open(gate_path, "w") as f:
+            json.dump(gate, f, indent=1)
+            f.write("\n")
+        log(f"quality gate: rmse={gate['rmse']} n={gate['n']} "
+            f"pass={gate['pass']} -> {gate_path}")
+    except Exception as e:  # noqa: BLE001 - the gate must not kill the bench
+        log(f"quality gate FAILED to run: {e}")
+
     print(
         json.dumps(
             {

@@ -38,9 +38,8 @@ def main() -> int:
     import json
 
     from rustsasa_tpu.api import SASAOptions
-    from rustsasa_tpu.io.read import read_structure
-    from rustsasa_tpu.io.serialize import fast_selection_json
     from rustsasa_tpu.levels import Level
+    from rustsasa_tpu.native import native_process_file, pipe_library
     from rustsasa_tpu.ops.engine import BatchedSasaEngine, SasaParams
 
     options = SASAOptions(level=Level.RESIDUE)
@@ -48,30 +47,38 @@ def main() -> int:
         SasaParams(probe_radius=options.probe_radius,
                    n_points=options.n_points)
     )
+    out_path = "/tmp/single_protein_bench_out.json"
+    assert pipe_library() is not None, "native library required for this bench"
 
+    # The production single-file route (cli._run_single_native): native
+    # parse + select (~0.4 ms, GIL-free C++), device SASA, native emit.
     def run_once():
         t = {}
         t0 = time.perf_counter()
-        structure = read_structure(EXAMPLE)
-        t["parse"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        sel = options.build_selection(structure)
-        t["select"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        (sasa,) = engine.compute([(sel.coords, sel.radii, sel.group_ids)])
-        t["device"] = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        payload = fast_selection_json(sel, sasa, Level.RESIDUE)
-        t["emit"] = time.perf_counter() - t0
+        ns = native_process_file(
+            EXAMPLE, level="residue", include_hydrogens=False,
+            include_hetatms=False, read_radii_from_occupancy=False,
+            allow_vdw_fallback=False,
+        )
+        t["parse_select"] = time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            (sasa,) = engine.compute([(ns.coords, ns.radii, ns.gids)])
+            t["device"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ns.emit(sasa, "residue", "json", out_path)
+            t["emit"] = time.perf_counter() - t0
+        finally:
+            ns.close()
         t["total"] = sum(t.values())
-        return t, len(payload)
+        return t, os.path.getsize(out_path)
 
     # Warmup (compile + caches), mirroring hyperfine's 3 warmup runs.
     for _ in range(3):
         _, n = run_once()
 
     runs = [run_once()[0] for _ in range(REPS)]
-    stages = ["parse", "select", "device", "emit", "total"]
+    stages = ["parse_select", "device", "emit", "total"]
     print(f"single-protein latency over {REPS} reps ({EXAMPLE}):")
     for s in stages:
         vals = [r[s] * 1e3 for r in runs]

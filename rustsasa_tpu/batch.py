@@ -97,6 +97,18 @@ def serialize_result(structure, result, fmt: str, selection=None) -> str:
 
 STRUCTURE_EXTS = (".pdb", ".ent", ".cif", ".mmcif", ".pdb1")
 
+# Backpressure capacity: max parsed-but-unwritten files in flight.  4096
+# files ~= 4-5 device chunks of lookahead at proteome file sizes.  The
+# consume loop below detects loads parked on this bound and retires
+# dispatched work to free permits, so the bound can never deadlock the
+# pipeline (it used to: >4096 small files could hold every permit at
+# exactly the dispatch threshold with nothing left to trigger a collect).
+_BACKLOG_CAP = 4096
+
+# Poll interval of the consume loop when no load has completed: only paid
+# in stall windows (normal runs always have completions pending).
+_STALL_POLL_S = 0.2
+
 
 def _is_structure_file(name: str) -> bool:
     base = name[:-3] if name.endswith(".gz") else name
@@ -160,17 +172,31 @@ def process_directory(
 
     # Backpressure: loads park here until emits release permits, so the
     # parsed-but-unwritten backlog (one SoA selection per file) stays
-    # bounded on corpora far larger than RAM would allow.  4096 files
-    # ~= 4-5 device chunks of lookahead at proteome file sizes.
+    # bounded on corpora far larger than RAM would allow.  `stalled`
+    # counts loader threads currently parked on the bound - the consume
+    # loop uses it to decide when it must retire in-flight work itself.
     import threading
 
-    backlog = threading.BoundedSemaphore(4096)
+    backlog = threading.BoundedSemaphore(_BACKLOG_CAP)
+    stall_lock = threading.Lock()
+    stalled = [0]
+
+    def _acquire_permit():
+        if backlog.acquire(blocking=False):
+            return
+        with stall_lock:
+            stalled[0] += 1
+        try:
+            backlog.acquire()
+        finally:
+            with stall_lock:
+                stalled[0] -= 1
 
     # Parse + select on host worker threads (native parser releases the GIL).
     # Returns (path, handle, err): handle is a NativeSelection or a
     # (structure, selection) pair for the Python route.
     def load(path):
-        backlog.acquire()
+        _acquire_permit()
         if use_native:
             try:
                 ns = native_process_file(
@@ -267,7 +293,17 @@ def process_directory(
         # crunches waves 0-1) and never queues ahead of the pack/emit
         # tasks submitted to `pool` below.  Peak memory is one SoA
         # selection per file (~16B/atom), fine at proteome scale.
-        load_futures = [load_pool.submit(load, p) for p in files]
+        import queue as _queuemod
+        from collections import deque
+
+        from .ops.engine import CHUNK_SLOT_BUDGET
+
+        done_q: _queuemod.Queue = _queuemod.Queue()
+        load_futures = []
+        for p in files:
+            fut = load_pool.submit(load, p)
+            fut.add_done_callback(done_q.put)
+            load_futures.append(fut)
 
         # Streaming chunker: files are consumed in PARSE-COMPLETION order
         # (no wave barrier waiting on the slowest file) and dispatched the
@@ -279,10 +315,6 @@ def process_directory(
         # results stream back.  This is the TPU analog of the reference's
         # rayon-over-files loop (main.rs:375): wall time is
         # max(device, host) rather than their sum.
-        from collections import deque
-        from concurrent.futures import as_completed
-
-        from .ops.engine import CHUNK_SLOT_BUDGET
 
         inflight: deque = deque()  # (good_batch, enqueue-future)
         batch_good: list = []
@@ -317,9 +349,29 @@ def process_directory(
             )
 
         try:
-            for f in as_completed(load_futures):
-                with stagestats.stage("load_wait"):
-                    path, h, err = f.result()
+            received = 0
+            while received < len(files):
+                try:
+                    with stagestats.stage("load_wait"):
+                        f = done_q.get(timeout=_STALL_POLL_S)
+                except _queuemod.Empty:
+                    # No load completed: either parses are just slow, or
+                    # loaders are parked on the backpressure bound while
+                    # every permit is held by work only this loop can
+                    # retire (batched/dispatched chunks whose emits would
+                    # release permits).  Retire the oldest work so the
+                    # pipeline can never wedge against its own bound.
+                    with stall_lock:
+                        n_stalled = stalled[0]
+                    if n_stalled:
+                        if inflight:
+                            collect_oldest()
+                        elif batch_good:
+                            dispatch_batch()
+                    drain_emits(only_done=True)
+                    continue
+                received += 1
+                path, h, err = f.result()
                 if err is not None:
                     backlog.release()  # no emit will run for this file
                     report.errors.append(err)

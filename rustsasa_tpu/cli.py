@@ -127,6 +127,15 @@ def run(args: argparse.Namespace) -> int:
             "Thread count must be -1 (automatic) or a positive number"
         )
 
+    # Ship the performance artifact to the user (the reference ships
+    # PGO-optimized binaries, rust.yml:59-137): every CLI invocation uses
+    # the persistent compile cache, so Mosaic/XLA compilation is a
+    # one-time cost per shape across processes.  `make precompile`
+    # pre-populates it at install time.
+    from .utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if not os.path.exists(args.input):
         if args.input.endswith(("/", "\\")):
             raise CLIError(
@@ -175,6 +184,13 @@ def run(args: argparse.Namespace) -> int:
             raise CLIError(f"Failed to write output file: {e}") from e
     fmt = args.format or format_from_extension(args.output)
     opts = _make_options(args)
+    if os.path.isdir(args.output):
+        raise CLIError(
+            f"Failed to write output file: {args.output} is a directory"
+        )
+    if _run_single_native(args, opts, fmt):
+        print("Finished!")
+        return 0
     try:
         structure = read_structure(args.input)
         result, sel = opts.process_with_selection(structure)
@@ -184,16 +200,58 @@ def run(args: argparse.Namespace) -> int:
     except Exception as e:  # noqa: BLE001 - typed exit below
         raise CLIError(f"SASA calculation failed: {e}") from e
     try:
-        if os.path.isdir(args.output):
-            raise CLIError(
-                f"Failed to write output file: {args.output} is a directory"
-            )
         with open(args.output, "w", encoding="utf-8") as f:
             f.write(payload)
     except OSError as e:
         raise CLIError(f"Failed to write output file: {e}") from e
     print("Finished!")
     return 0
+
+
+def _run_single_native(args, opts: SASAOptions, fmt: str) -> bool:
+    """Single-file fast path: C++ parse + select + emit, device in between.
+
+    Same output bytes as the Python route (tests/test_native_pipe.py);
+    returns False when this configuration (format/radii/file quirks) needs
+    the Python pipeline.
+    """
+    from .native import NativeFallback, native_process_file, pipe_library
+    from .ops.engine import BatchedSasaEngine, SasaParams
+
+    if (
+        fmt not in ("json", "xml")
+        or opts.radii_config is not None
+        or pipe_library() is None
+    ):
+        return False
+    try:
+        ns = native_process_file(
+            args.input,
+            level=opts.level.value,
+            include_hydrogens=opts.include_hydrogens,
+            include_hetatms=opts.include_hetatms,
+            read_radii_from_occupancy=opts.read_radii_from_occupancy,
+            allow_vdw_fallback=opts.allow_vdw_fallback,
+        )
+    except NativeFallback:
+        return False
+    except CLIError:
+        raise
+    except Exception as e:  # noqa: BLE001 - typed exit below
+        raise CLIError(f"SASA calculation failed: {e}") from e
+    try:
+        engine = BatchedSasaEngine(
+            SasaParams(
+                probe_radius=opts.probe_radius, n_points=opts.n_points
+            )
+        )
+        (sasa,) = engine.compute([(ns.coords, ns.radii, ns.gids)])
+        ns.emit(sasa, opts.level.value, fmt, args.output)
+    except Exception as e:  # noqa: BLE001 - typed exit below
+        raise CLIError(f"SASA calculation failed: {e}") from e
+    finally:
+        ns.close()
+    return True
 
 
 def _run_trajectory(args: argparse.Namespace) -> int:

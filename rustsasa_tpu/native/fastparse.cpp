@@ -12,6 +12,7 @@
 // here as native code under Python threads.
 //
 // Build: g++ -O3 -march=native -shared -fPIC fastparse.cpp -o libfastparse.so -lz
+#include <cerrno>
 #include <charconv>
 #include <cmath>
 #include <cstdint>
@@ -190,12 +191,16 @@ inline int64_t parse_int(std::string_view s, int64_t dflt) {
   else if (*p == '+') ++p;
   int64_t v = 0;
   bool any = false;
+  int digits = 0;
   while (p < end && *p >= '0' && *p <= '9') {
     v = v * 10 + (*p - '0');
     ++p;
     any = true;
+    ++digits;
   }
-  if (p == end && any) return neg ? -v : v;
+  // 19+ digits can wrap int64; let strtoll clamp with ERANGE semantics
+  // (mmCIF integer fields are free-width, unlike PDB's 4-5 columns).
+  if (p == end && any && digits <= 18) return neg ? -v : v;
   char buf[32];
   size_t n = s.size() < 31 ? s.size() : 31;
   memcpy(buf, s.data(), n);
@@ -1346,9 +1351,16 @@ int fastpipe_emit(FPResult* r, SelResult* s, const float* atom_sasa,
   size_t left = out.size();
   while (left > 0) {
     ssize_t wrote = write(fd, p, left);
-    if (wrote <= 0) {
+    if (wrote < 0) {
+      if (errno == EINTR) continue;  // interrupted, not failed: retry
+      int err = errno;
       close(fd);
-      snprintf(errbuf, 256, "short write: %s", out_path);
+      snprintf(errbuf, 256, "write failed (%s): %s", strerror(err), out_path);
+      return 1;
+    }
+    if (wrote == 0) {  // no progress and no error: avoid spinning forever
+      close(fd);
+      snprintf(errbuf, 256, "write returned 0: %s", out_path);
       return 1;
     }
     p += wrote;

@@ -370,6 +370,9 @@ def calculate_sasa_internal(
       omitted every atom gets a distinct id.
     backend: 'auto' | 'xla' | 'pallas' | 'pallas_interpret'.
     """
+    from ..utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     coords = np.ascontiguousarray(coords, dtype=np.float32)
     radii = np.ascontiguousarray(radii, dtype=np.float32)
     n = coords.shape[0]
@@ -513,8 +516,9 @@ def _compute_fused(
             <= fused_kernel.W_BUCKETS[-1] and _unique_gids(t[2])
         ]
         if 0 < len(eligible) < len(chunk):
+            elig = set(eligible)
             rest = [
-                chunk[k] for k in range(len(chunk)) if k not in set(eligible)
+                chunk[k] for k in range(len(chunk)) if k not in elig
             ]
             flush([chunk[k] for k in eligible])
             flush(rest)
@@ -733,6 +737,9 @@ class BatchedSasaEngine:
         resource; f16 halves it and its ~0.05% rounding is far inside every
         parity tolerance (golden eps=25 A^2/atom, RMSE gate +20).  Pass
         jnp.float32 for bit-clean per-atom output."""
+        from ..utils.jax_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.params = params or SasaParams()
         self.backend = backend
         self.readback_dtype = readback_dtype

@@ -754,10 +754,11 @@ def _pack_structures_numpy(structures, probe, n_points):
         sl = slice(tile0, tile0 + nt)
         jlist[sl, 0] = counts
         if len(ii):
-            # Nearest-first order within each row (by AABB separation) so
-            # the kernel's occlusion-saturation early exit fires as soon
-            # as possible (the analog of the reference's sorted neighbor
-            # lists, spatial_grid.rs:438-465).
+            # Deterministic nearest-first order within each row (by AABB
+            # separation): keeps this packer bit-compatible with the
+            # native C++ packer and the device-side banded builder, which
+            # sort the same way.  (The shipped kernel streams branchlessly
+            # - order does not affect its speed.)
             row_order = np.lexsort((pair_sep2, ii))
             ii = ii[row_order]
             jj = jj[row_order]

@@ -24,12 +24,30 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
         return
     import jax
 
+    try:
+        if cache_dir is None and jax.config.jax_compilation_cache_dir:
+            # An embedding application already configured a cache;
+            # respect it rather than redirecting compiles to ours.
+            _enabled = True
+            return
+    except AttributeError:
+        pass
     path = cache_dir or os.environ.get("RUSTSASA_TPU_CACHE", _DEFAULT_DIR)
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # CRITICAL for cache hits: with full tracebacks in MLIR locations
+        # (the default), the serialized Mosaic kernel payload inside the
+        # tpu_custom_call embeds the CALLER's file/line.  The cache key's
+        # strip-debuginfo pass cannot reach inside that payload, so every
+        # distinct call site - and every code edit that shifts a caller
+        # line - changed the key and forced a full remote recompile
+        # (measured: 3-7 min per miss on this deployment).  Verified:
+        # with this off, the canonicalized module is byte-identical
+        # across call sites.
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
         _enabled = True
     except Exception:  # noqa: BLE001 - cache is best-effort
         pass

@@ -36,8 +36,11 @@ for m in E._FUSED_M_BUCKETS:
         )
 
 # Wider band buckets (w=64 / w=127): chunks containing a structure of
-# 33-64 / 65-127 tiles compile separate (M, w) variants.
-for m, big_n in [(32768, 8000), (131072, 8000), (524288, 8000),
+# 33-64 / 65-127 tiles compile separate (M, w) variants.  The first two
+# rows are the SINGLE-FILE CLI shapes: one 33-64-tile file lands in the
+# 8192 bucket at w=64, one 65-127-tile file in 32768 at w=127.
+for m, big_n in [(8192, 5000), (32768, 12000),
+                 (32768, 8000), (131072, 8000), (524288, 8000),
                  (2097152, 8000), (4194304, 8000),
                  (131072, 16000), (2097152, 16000), (4194304, 16000)]:
     structures = [protein_like(big_n)]

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Per-round TPU-path quality gate artifact.
+
+Runs the 88-PDB FreeSASA gate (reference: tests/quality.rs:17-18,138-233,
+RMSE baseline 43.99 + 20 tolerance) through the PRODUCTION pipeline on
+whatever backend this host resolves - on a TPU host that is the fused q16
+banded path, which the pytest gate (pinned to the CPU/XLA backend) never
+exercises.  Writes a JSON artifact so every round pins the real kernel's
+accuracy; a kernel regression can't hide behind the CPU gate.
+
+Usage: python scripts/quality_gate.py [out.json]
+Default output: benches/artifacts/quality_latest.json
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rustsasa_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+RMSE_LIMIT = 43.99 + 20.0  # reference: tests/quality.rs:17-18
+
+
+def run_gate() -> dict:
+    import jax
+
+    from quality_report import evaluate_depth
+
+    r = evaluate_depth("residue")
+    dev = jax.devices()[0]
+    out = {
+        "gate": "freesasa_88pdb_residue_chain_rmse",
+        "device": str(dev),
+        "platform": dev.platform,
+        "n": r["n"],
+        "n_files": r["n_files"],
+        "n_ok": r["n_ok"],
+        "n_errors": len(r["errors"]),
+        "rmse": round(r["rmse"], 4),
+        "pearson_r": round(r["pearson_r"], 6),
+        "rmse_limit": RMSE_LIMIT,
+        "pass": bool(r["rmse"] <= RMSE_LIMIT and r["n_ok"] == r["n_files"]),
+    }
+    if r["errors"]:
+        out["errors"] = r["errors"][:10]
+    return out
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        repo, "benches", "artifacts", "quality_latest.json"
+    )
+    result = run_gate()
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+    print(json.dumps(result))
+    return 0 if result["pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,7 +4,8 @@
 The analog of the reference's paper eval quality tooling
 (reference: paper/eval/scripts/quality_scatter.py): runs the batch
 pipeline over a PDB directory and compares chain totals against stored
-FreeSASA JSON outputs.
+FreeSASA JSON outputs (the reference's gate semantics,
+tests/quality.rs:107-122).
 
 Usage:
     python scripts/quality_report.py [pdb_dir] [reference_dir]
@@ -19,6 +20,10 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_PDB_DIR = os.path.join(REPO, "tests", "data", "freesasa_pdbs")
+DEFAULT_REF_DIR = os.path.join(REPO, "tests", "data", "freesasa_reference")
+
 
 def pearson(xs, ys):
     n = len(xs)
@@ -30,68 +35,84 @@ def pearson(xs, ys):
     return cov / math.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
 
 
-def main() -> int:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    pdb_dir = sys.argv[1] if len(sys.argv) > 1 else (
-        os.path.join(repo, "tests", "data", "freesasa_pdbs")
-    )
-    ref_dir = sys.argv[2] if len(sys.argv) > 2 else (
-        os.path.join(repo, "tests", "data", "freesasa_reference")
-    )
+def evaluate_depth(depth: str, pdb_dir: str = DEFAULT_PDB_DIR,
+                   ref_dir: str = DEFAULT_REF_DIR):
+    """Run the production batch pipeline at `depth` over pdb_dir and score
+    against the stored FreeSASA outputs.
 
+    Returns a dict: n (matched comparisons), rmse, pearson_r, n_files,
+    n_ok, errors (list of per-file error strings).  The backend is
+    whatever the engine resolves on this host - on a TPU host that is the
+    fused q16 banded production path.
+    """
     from rustsasa_tpu.api import SASAOptions
     from rustsasa_tpu.batch import process_directory
     from rustsasa_tpu.levels import Level
 
+    use_file_total = depth in ("atom", "protein")
+    out_dir = tempfile.mkdtemp(prefix=f"rsasa_quality_{depth}_")
+    report = process_directory(
+        pdb_dir, out_dir, SASAOptions(level=Level(depth)), "json",
+        progress=False,
+    )
+    ours, ref = [], []
+    for fname in sorted(os.listdir(ref_dir)):
+        if not fname.endswith(".json"):
+            continue
+        out_path = os.path.join(out_dir, fname)
+        if not os.path.exists(out_path):
+            continue
+        with open(os.path.join(ref_dir, fname)) as f:
+            ref_data = json.load(f)
+        ref_chains = {}
+        total = 0.0
+        for result in ref_data["results"]:
+            for structure in result["structure"]:
+                for chain in structure["chains"]:
+                    ref_chains[chain["label"]] = chain["area"]["total"]
+                    total += chain["area"]["total"]
+        stem = os.path.splitext(fname)[0]
+        with open(out_path) as f:
+            data = json.load(f)
+        mine = {}
+        if "Atom" in data:
+            mine[stem] = float(sum(data["Atom"]))
+        elif "Residue" in data:
+            for r in data["Residue"]:
+                mine[r["chain_id"]] = mine.get(r["chain_id"], 0.0) + r["value"]
+        elif "Chain" in data:
+            for c in data["Chain"]:
+                mine[c["name"]] = c["value"]
+        elif "Protein" in data:
+            mine[stem] = data["Protein"]["global_total"]
+        targets = {stem: total} if use_file_total else ref_chains
+        for key, rv in targets.items():
+            if key in mine:
+                ref.append(rv)
+                ours.append(mine[key])
+    rmse = math.sqrt(
+        sum((a - b) ** 2 for a, b in zip(ours, ref)) / len(ours)
+    )
+    return {
+        "depth": depth,
+        "n": len(ours),
+        "rmse": rmse,
+        "pearson_r": pearson(ours, ref),
+        "n_files": report.n_files,
+        "n_ok": report.n_ok,
+        "errors": list(report.errors),
+    }
+
+
+def main() -> int:
+    pdb_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_PDB_DIR
+    ref_dir = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_REF_DIR
     for depth in ("residue", "chain", "atom", "protein"):
-        use_file_total = depth in ("atom", "protein")
-        out_dir = tempfile.mkdtemp(prefix=f"rsasa_quality_{depth}_")
-        report = process_directory(
-            pdb_dir, out_dir, SASAOptions(level=Level(depth)), "json",
-            progress=False,
-        )
-        ours, ref = [], []
-        for fname in sorted(os.listdir(ref_dir)):
-            if not fname.endswith(".json"):
-                continue
-            out_path = os.path.join(out_dir, fname)
-            if not os.path.exists(out_path):
-                continue
-            with open(os.path.join(ref_dir, fname)) as f:
-                ref_data = json.load(f)
-            ref_chains = {}
-            total = 0.0
-            for result in ref_data["results"]:
-                for structure in result["structure"]:
-                    for chain in structure["chains"]:
-                        ref_chains[chain["label"]] = chain["area"]["total"]
-                        total += chain["area"]["total"]
-            stem = os.path.splitext(fname)[0]
-            with open(out_path) as f:
-                data = json.load(f)
-            mine = {}
-            if "Atom" in data:
-                mine[stem] = float(sum(data["Atom"]))
-            elif "Residue" in data:
-                for r in data["Residue"]:
-                    mine[r["chain_id"]] = mine.get(r["chain_id"], 0.0) + r["value"]
-            elif "Chain" in data:
-                for c in data["Chain"]:
-                    mine[c["name"]] = c["value"]
-            elif "Protein" in data:
-                mine[stem] = data["Protein"]["global_total"]
-            targets = {stem: total} if use_file_total else ref_chains
-            for key, rv in targets.items():
-                if key in mine:
-                    ref.append(rv)
-                    ours.append(mine[key])
-        rmse = math.sqrt(
-            sum((a - b) ** 2 for a, b in zip(ours, ref)) / len(ours)
-        )
+        r = evaluate_depth(depth, pdb_dir, ref_dir)
         print(
-            f"[{depth:8s}] n={len(ours):4d}  RMSE={rmse:8.2f} A^2  "
-            f"pearson_r={pearson(ours, ref):.5f}  "
-            f"({report.n_ok}/{report.n_files} files)"
+            f"[{depth:8s}] n={r['n']:4d}  RMSE={r['rmse']:8.2f} A^2  "
+            f"pearson_r={r['pearson_r']:.5f}  "
+            f"({r['n_ok']}/{r['n_files']} files)"
         )
     return 0
 

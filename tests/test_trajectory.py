@@ -85,3 +85,50 @@ def test_trajectory_atom_count_mismatch(tmp_path):
     write_dcd(str(dcd), np.zeros((1, 7, 3), dtype=np.float32))
     with pytest.raises(ValueError, match="atoms"):
         compute_trajectory_sasa(str(top), str(dcd))
+
+
+def test_iter_frame_blocks_streams_without_slurping(tmp_path):
+    """No single read may pull more than one block of frames (+ header
+    prefix); total reads ~= file size, not a multiple of it."""
+    import rustsasa_tpu.trajectory.dcd as dcd_mod
+
+    coords = np.random.default_rng(2).normal(size=(64, 100, 3)).astype(
+        np.float32
+    )
+    path = tmp_path / "big.dcd"
+    write_dcd(str(path), coords)
+    file_size = path.stat().st_size
+
+    reads = []
+    real_open = open
+
+    def counting_open(p, mode="r", *a, **k):
+        f = real_open(p, mode, *a, **k)
+        real_read = f.read
+
+        def read(n=-1):
+            data = real_read(n)
+            reads.append(len(data))
+            return data
+
+        f.read = read
+        return f
+
+    dcd_mod.open = counting_open
+    try:
+        blocks = list(iter_frame_blocks(str(path), block=4))
+    finally:
+        del dcd_mod.open
+
+    h = blocks[0][0]
+    assert h.n_frames == 64
+    assert sum(b.shape[0] for _, _, b in blocks) == 64
+    np.testing.assert_allclose(
+        np.concatenate([b for _, _, b in blocks]), coords, atol=1e-5
+    )
+    # Largest single read: one 4-frame block (or the 64KB header prefix).
+    block_bytes = 4 * h.frame_size
+    assert max(reads) <= max(block_bytes, 65536)
+    assert max(reads) < file_size
+    # Every byte is read exactly once (header prefix may overlap frames).
+    assert sum(reads) <= file_size + 65536
