@@ -122,13 +122,21 @@ def main() -> int:
     # third of the wall time (warmup wall is dominated by per-shape
     # executable loads over the tunnel, which congestion can stretch to
     # minutes - PROFILE.md).
+    from rustsasa_tpu.utils import stagestats as _ss
+
     subset = set(sorted(os.listdir(corpus))[:1700])
+    _ss.reset()
     t0 = time.time()
     process_directory(
         corpus, OUTPUT_DIR + "_warm", options, "json", progress=False,
         file_filter=subset,
     )
-    log(f"warmup pass took {time.time() - t0:.1f}s")
+    warm_elapsed = time.time() - t0
+    log(f"warmup pass took {warm_elapsed:.1f}s")
+    if _ss.enabled:
+        log("warmup stage split (dispatch includes per-shape executable "
+            "loads; device_wait includes first-shape compiles/loads):")
+        log(_ss.report(warm_elapsed))
 
     # Timed passes: 5 runs, median reported (the reference's protocol is
     # hyperfine with 3 runs + 3 warmup, README.md:163; two extra runs

@@ -35,7 +35,7 @@ from .io.serialize import (
 )
 from .levels import aggregate
 from .native import NativeFallback, NativeSelection, native_process_file, pipe_library
-from .ops.engine import BatchedSasaEngine, SasaParams
+from .ops.engine import BatchedSasaEngine, CountsView, SasaParams
 from .utils import stagestats
 
 
@@ -241,6 +241,26 @@ def process_directory(
         stem = os.path.splitext(base)[0]
         out_path = os.path.join(output_dir, f"{stem}.{output_format}")
         try:
+            if isinstance(handle, NativeSelection) and isinstance(
+                atom_sasa, CountsView
+            ):
+                # Fully-fused native sink: unpack + aggregate + format +
+                # write in one C++ pass straight from the device's raw
+                # counts readback (bit-identical output bytes).
+                try:
+                    area = handle.emit_counts(
+                        atom_sasa.counts, atom_sasa.inv,
+                        float(atom_sasa.area_const), atom_sasa.probe,
+                        level_str, output_format, out_path,
+                    )
+                finally:
+                    handle.close()
+                return None, area
+            if callable(atom_sasa):
+                # Deferred unpack (engine.collect_views): slice + inverse
+                # permutation + counts->SASA runs HERE on the worker
+                # thread, off the pipeline's serial spine.
+                atom_sasa = atom_sasa()
             area = float(atom_sasa.sum())
             if isinstance(handle, NativeSelection):
                 try:
@@ -342,7 +362,7 @@ def process_directory(
         def collect_oldest():
             prev_good, fut = inflight.popleft()
             with stagestats.stage("collect"):
-                sasas = fut.result().collect()
+                sasas = fut.result().collect_views()
             emit_futures.extend(
                 pool.submit(emit, args)
                 for args in zip(prev_good, sasas)

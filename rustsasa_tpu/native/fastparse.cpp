@@ -1084,68 +1084,111 @@ SelResult* fastpipe_select(FPResult* r, int level, int include_h,
 
   // Radii: memoized per (resname, atom name) pair (reference precedence:
   // occupancy > custom/protor table > vdW-if-allowed > error,
-  // options.rs:83-103; custom configs take the Python path).
+  // options.rs:83-103; custom configs take the Python path).  The memo
+  // is a FLAT table indexed by code pair when the code space is small
+  // (it practically always is: ~25 resnames x ~300 atom names) - a
+  // direct load per atom instead of an unordered_map find, which
+  // profiled as one of the two per-atom hash loops dominating select.
   owner->radii.resize(m);
   if (read_occ) {
     for (int64_t k = 0; k < m; ++k) owner->radii[k] = r->occupancy[idx[k]];
   } else {
-    std::unordered_map<uint64_t, float> memo;
-    memo.reserve(256);
-    for (int64_t k = 0; k < m; ++k) {
-      int64_t i = idx[k];
-      uint64_t key = (static_cast<uint64_t>(r->resname_code[i]) << 32) |
-                     static_cast<uint64_t>(r->name_code[i]);
-      auto it = memo.find(key);
-      if (it == memo.end()) {
-        auto rn = tab_entry(r->resname_tab, r->resname_code[i]);
-        auto an = tab_entry(r->name_tab, r->name_code[i]);
-        std::string pk;
-        pk.reserve(rn.size() + an.size() + 1);
-        pk.append(rn);
-        pk.push_back('\t');
-        pk.append(an);
-        auto pit = g_radii.pair.find(pk);
-        float rad;
-        if (pit != g_radii.pair.end()) {
-          rad = pit->second;
-        } else {
-          auto el = tab_entry(r->element_tab, r->element_code[i]);
-          if (!allow_vdw) {
-            snprintf(s->error, sizeof(s->error), "E_RADIUS\t%.*s\t%.*s\t%.*s",
-                     static_cast<int>(rn.size()), rn.data(),
-                     static_cast<int>(an.size()), an.data(),
-                     static_cast<int>(el.size()), el.data());
-            return s;
-          }
-          auto vit = g_radii.vdw.find(std::string(el));
-          if (vit == g_radii.vdw.end()) {
-            snprintf(s->error, sizeof(s->error), "E_VDW\t%.*s",
-                     static_cast<int>(el.size()), el.data());
-            return s;
-          }
-          rad = vit->second;
-        }
-        it = memo.emplace(key, rad).first;
+    auto resolve = [&](int64_t i, float* out_rad) -> bool {
+      auto rn = tab_entry(r->resname_tab, r->resname_code[i]);
+      auto an = tab_entry(r->name_tab, r->name_code[i]);
+      std::string pk;
+      pk.reserve(rn.size() + an.size() + 1);
+      pk.append(rn);
+      pk.push_back('\t');
+      pk.append(an);
+      auto pit = g_radii.pair.find(pk);
+      if (pit != g_radii.pair.end()) {
+        *out_rad = pit->second;
+        return true;
       }
-      owner->radii[k] = it->second;
+      auto el = tab_entry(r->element_tab, r->element_code[i]);
+      if (!allow_vdw) {
+        snprintf(s->error, sizeof(s->error), "E_RADIUS\t%.*s\t%.*s\t%.*s",
+                 static_cast<int>(rn.size()), rn.data(),
+                 static_cast<int>(an.size()), an.data(),
+                 static_cast<int>(el.size()), el.data());
+        return false;
+      }
+      auto vit = g_radii.vdw.find(std::string(el));
+      if (vit == g_radii.vdw.end()) {
+        snprintf(s->error, sizeof(s->error), "E_VDW\t%.*s",
+                 static_cast<int>(el.size()), el.data());
+        return false;
+      }
+      *out_rad = vit->second;
+      return true;
+    };
+    const int64_t flat_size =
+        static_cast<int64_t>(r->n_resname) * r->n_name;
+    if (flat_size > 0 && flat_size <= (1 << 18)) {
+      const float kUnset = -1.0f;
+      std::vector<float> flat(static_cast<size_t>(flat_size), kUnset);
+      for (int64_t k = 0; k < m; ++k) {
+        int64_t i = idx[k];
+        int64_t fk = static_cast<int64_t>(r->resname_code[i]) * r->n_name +
+                     r->name_code[i];
+        float rad = flat[fk];
+        if (rad == kUnset) {
+          if (!resolve(i, &rad)) return s;
+          flat[fk] = rad;
+        }
+        owner->radii[k] = rad;
+      }
+    } else {
+      std::unordered_map<uint64_t, float> memo;
+      memo.reserve(256);
+      for (int64_t k = 0; k < m; ++k) {
+        int64_t i = idx[k];
+        uint64_t key = (static_cast<uint64_t>(r->resname_code[i]) << 32) |
+                       static_cast<uint64_t>(r->name_code[i]);
+        auto it = memo.find(key);
+        if (it == memo.end()) {
+          float rad;
+          if (!resolve(i, &rad)) return s;
+          it = memo.emplace(key, rad).first;
+        }
+        owner->radii[k] = it->second;
+      }
     }
   }
 
   // Occlusion-exclusion group ids: (alt_loc, serial), serial-only at
   // protein level (reference: options.rs:183,276,354 vs :453).
+  // Fast path: strictly increasing serials (the overwhelmingly common
+  // well-formed-file case) make every key unique regardless of alt-loc,
+  // so first-appearance ids are just 0..m-1 - no hash map (the map
+  // insert per atom was the other profiled select hot loop).
   owner->gids.resize(m);
   {
-    std::unordered_map<uint64_t, int32_t> gmap;
-    gmap.reserve(static_cast<size_t>(m));
-    for (int64_t k = 0; k < m; ++k) {
-      int64_t i = idx[k];
-      uint64_t key =
-          (level == 3)
-              ? static_cast<uint64_t>(r->serial[i])
-              : ((static_cast<uint64_t>(r->alt_code[i]) << 48) |
-                 (static_cast<uint64_t>(r->serial[i]) & 0xFFFFFFFFFFFFull));
-      auto [it, ins] = gmap.try_emplace(key, static_cast<int32_t>(gmap.size()));
-      owner->gids[k] = it->second;
+    bool serial_increasing = true;
+    for (int64_t k = 1; k < m; ++k) {
+      if (r->serial[idx[k]] <= r->serial[idx[k - 1]]) {
+        serial_increasing = false;
+        break;
+      }
+    }
+    if (serial_increasing) {
+      for (int64_t k = 0; k < m; ++k)
+        owner->gids[k] = static_cast<int32_t>(k);
+    } else {
+      std::unordered_map<uint64_t, int32_t> gmap;
+      gmap.reserve(static_cast<size_t>(m));
+      for (int64_t k = 0; k < m; ++k) {
+        int64_t i = idx[k];
+        uint64_t key =
+            (level == 3)
+                ? static_cast<uint64_t>(r->serial[i])
+                : ((static_cast<uint64_t>(r->alt_code[i]) << 48) |
+                   (static_cast<uint64_t>(r->serial[i]) & 0xFFFFFFFFFFFFull));
+        auto [it, ins] =
+            gmap.try_emplace(key, static_cast<int32_t>(gmap.size()));
+        owner->gids[k] = it->second;
+      }
     }
   }
 
@@ -1368,6 +1411,39 @@ int fastpipe_emit(FPResult* r, SelResult* s, const float* atom_sasa,
   }
   close(fd);
   return 0;
+}
+
+// Fused unpack + emit: takes the device's occlusion COUNTS (u8, or u16
+// when n_points > 255) still in packed Morton-slot order plus the
+// inverse permutation, reconstructs per-atom SASA in one pass
+// (bit-identical to engine.collect's numpy arithmetic: f32
+// cnt * ((area_const * r_eff) * r_eff)), writes the output file via
+// fastpipe_emit, and returns the f64 total area through out_total.
+// Replaces ~170us/file of numpy gather/astype/multiply on the Python
+// worker threads with ~2us of native code.
+int fastpipe_emit_counts(FPResult* r, SelResult* s, const void* counts,
+                         int wide, const void* inv, int inv64,
+                         float area_const, float probe, int level, int fmt,
+                         const char* out_path, double* out_total,
+                         char* errbuf) {
+  const int64_t m = s->m;
+  std::vector<float> sasa(static_cast<size_t>(m));
+  const uint8_t* c8 = static_cast<const uint8_t*>(counts);
+  const uint16_t* c16 = static_cast<const uint16_t*>(counts);
+  const int32_t* p32 = static_cast<const int32_t*>(inv);
+  const int64_t* p64 = static_cast<const int64_t*>(inv);
+  double total = 0.0;
+  for (int64_t k = 0; k < m; ++k) {
+    int64_t slot = inv64 ? p64[k] : p32[k];
+    float cnt = wide ? static_cast<float>(c16[slot])
+                     : static_cast<float>(c8[slot]);
+    float reff = s->radii[k] + probe;
+    float t = (area_const * reff) * reff;
+    sasa[k] = cnt * t;
+    total += static_cast<double>(sasa[k]);
+  }
+  if (out_total) *out_total = total;
+  return fastpipe_emit(r, s, sasa.data(), level, fmt, out_path, errbuf);
 }
 
 }  // extern "C"

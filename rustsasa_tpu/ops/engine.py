@@ -627,6 +627,37 @@ def _compute_fused(
                          probe, n_points)
 
 
+class CountsView:
+    """Deferred unpack of one structure's result from a chunk's raw
+    occlusion-counts readback.  Calling it materializes the per-atom SASA
+    (numpy path); consumers with a native sink (batch.py + NativeSelection)
+    instead read the raw fields and fuse the unpack into the C++ emit."""
+
+    __slots__ = ("out_np", "pos", "n", "inv", "radii", "probe", "n_points")
+
+    def __init__(self, out_np, pos, n, inv, radii, probe, n_points):
+        self.out_np = out_np
+        self.pos = pos
+        self.n = n
+        self.inv = inv
+        self.radii = radii
+        self.probe = probe
+        self.n_points = n_points
+
+    @property
+    def area_const(self) -> np.float32:
+        return np.float32(4.0 * np.pi / self.n_points)
+
+    @property
+    def counts(self) -> np.ndarray:
+        return self.out_np[self.pos:self.pos + self.n]
+
+    def __call__(self) -> np.ndarray:
+        vals = self.counts[self.inv]
+        r_eff = self.radii.astype(np.float32) + np.float32(self.probe)
+        return vals.astype(np.float32) * (self.area_const * r_eff * r_eff)
+
+
 class _FusedPending:
     """In-flight fused computation: all chunks dispatched, none read back.
 
@@ -644,25 +675,40 @@ class _FusedPending:
         self.n_points = n_points
 
     def collect(self) -> list[np.ndarray]:
-        area_const = np.float32(4.0 * np.pi / self.n_points)
+        with stagestats.stage("unpack"):
+            return [
+                v() if callable(v) else v for v in self.collect_views()
+            ]
+
+    def collect_views(self) -> list:
+        """Sync all chunks; return per-structure entries that are either
+        ready np.ndarrays or zero-arg thunks materializing one structure's
+        SASA (slice + inverse permutation + counts->area).  Callers with a
+        worker pool (batch.py) run the thunks OFF the main thread - the
+        unpack work (~0.2-0.7 s/corpus) overlaps waiting instead of
+        serializing on the pipeline spine."""
+        views: list = self.results
         for chunk, offsets, out, kind in self.pending:
             with stagestats.stage("device_wait"):
                 out_np = np.asarray(out)
-            with stagestats.stage("unpack"):
-                for i, off in zip(chunk, offsets):
-                    if off is None:
-                        continue  # rerouted to fallback
-                    pos, n, inv = off
-                    vals = out_np[pos:pos + n][inv]
-                    if kind == "q16":
-                        # counts -> SASA on host: exact f32, and the counts
-                        # readback is 2-4x narrower than an area readback.
-                        r_eff = self.structures[i][1].astype(np.float32) \
-                            + np.float32(self.probe)
-                        vals = vals.astype(np.float32) * (
-                            area_const * r_eff * r_eff
-                        )
-                    self.results[i] = vals.astype(np.float32)
+            for i, off in zip(chunk, offsets):
+                if off is None:
+                    continue  # rerouted to fallback
+                pos, n, inv = off
+
+                if kind == "q16":
+                    # counts -> SASA on host: exact f32, and the counts
+                    # readback is 2-4x narrower than an area readback.
+                    views[i] = CountsView(
+                        out_np, pos, n, inv, self.structures[i][1],
+                        self.probe, self.n_points,
+                    )
+                else:
+                    def thunk(out_np=out_np, pos=pos, n=n, inv=inv):
+                        return out_np[pos:pos + n][inv].astype(np.float32)
+
+                    views[i] = thunk
+        self.pending = []
 
         if self.fallback:
             eng = BatchedSasaEngine(
@@ -673,8 +719,9 @@ class _FusedPending:
                 self.fallback,
                 eng.compute([self.structures[i] for i in self.fallback]),
             ):
-                self.results[i] = out
-        return self.results  # type: ignore[return-value]
+                views[i] = out
+            self.fallback = []
+        return views
 
 
 class _EagerPending:
@@ -686,6 +733,9 @@ class _EagerPending:
     def collect(self):
         return self._results
 
+    def collect_views(self):
+        return self._results
+
 
 class _MappedPending:
     """Maps an inner handle over the nonempty-structure subset."""
@@ -695,14 +745,19 @@ class _MappedPending:
         self._nonempty = nonempty
         self._total = total
 
-    def collect(self):
-        outs = self._inner.collect()
-        results: list[np.ndarray] = [
+    def _scatter(self, outs):
+        results: list = [
             np.zeros(0, np.float32) for _ in range(self._total)
         ]
         for i, out in zip(self._nonempty, outs):
             results[i] = out
         return results
+
+    def collect(self):
+        return self._scatter(self._inner.collect())
+
+    def collect_views(self):
+        return self._scatter(self._inner.collect_views())
 
 
 def _batch_cap(n_pad: int) -> int:

@@ -45,9 +45,22 @@ group/atom early-outs all lose to branchless streaming plus group
 masks; 4-atom j-groups (32-bit masks in a parallel SMEM array, 10%
 fewer streamed j-atoms - measured 1,143 vs 1,023 per atom) ran 1.45x
 SLOWER - per-group fori/prep overhead amortizes over 4 instead of 8
-j-atoms and swamps the candidate saving.  The per-atom-in-reach floor
-for 128-atom i-tiles is 829 streamed j/atom; the shipped kernel streams
-~1,140 (2.11-3.05 Matoms/s kernel-only depending on tunnel window).
+j-atoms and swamps the candidate saving.
+
+Round-4 measured results (scripts/r4_saturation.py, r4_microkernel.py,
+r4_cull_granularity.py, r4_atombox.py; same real 2M-slot corpus chunk):
+a tile-level occlusion-saturation skip (one guard per j-TILE, occ in
+VMEM, 16x coarser than the losing per-group conds) is ALSO a dead end -
+625ms prod vs 659/643/632ms checking every 1/2/4 tiles: tiles of these
+~2.6k-atom structures rarely have all 128 atoms fully buried.  Split
+occlusion accumulators (halved max-dependency chain): no effect
+(628.7 vs 631.7ms).  Two WINS shipped: (1) streaming admitted groups in
+PAIRS (16 margin updates per loop iteration) cut per-iteration overhead
+- 584 vs 632ms, bit-identical; (2) per-i-atom point-to-box fine culling
+in the banded builder cut streamed j/atom 1185 -> 911 measured
+(bit-identical counts; +60ms build buys ~120ms kernel per 2M chunk).
+The shipped kernel streams ~870 j/atom against a 733 group-granularity
+floor (3.1-3.4 Matoms/s kernel-only depending on tunnel window).
 
 Everything after the per-structure packing runs in one pallas_call per
 chunk; HBM traffic is one 64KB read per active tile pair plus the output.
@@ -150,12 +163,9 @@ def _fused_count_kernel(
         start_dma(slot, idx).wait()
         base = slot * a
 
-        def kgroup(k, occ):
-            g = glist_ref[k]
-            # 8 j-atoms per iteration: ONE sublane-sliced load replaces 40
-            # dynamic scalar reads (measured ~23 cycles each), and the
-            # [1,A] prep chain + loop overhead amortize 8x.  The per-atom
-            # [P,A] margin updates then unroll over static row slices.
+        def load_group(g):
+            # 8 j-atoms per load: ONE sublane-sliced load replaces 40
+            # dynamic scalar reads (measured ~23 cycles each).
             rows = jbuf[pl.ds(base + g * J_GROUP, J_GROUP), :]  # [8, 128]
             xk = rows[:, 0:1]
             yk = rows[:, 1:2]
@@ -168,7 +178,25 @@ def _fused_count_kernel(
             v2g = vxg * vxg + vyg * vyg + vzg * vzg
             limg = (rk * rk - v2g - r2i) * inv2ri
             limg = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, limg)
-            for r in range(J_GROUP):
+            return vxg, vyg, vzg, limg
+
+        # Admitted groups stream in PAIRS: one loop iteration loads two
+        # 8-atom groups and unrolls 16 [P,A] margin updates, so the
+        # per-iteration overhead (glist reads, loop bookkeeping, prep
+        # chains) amortizes over 16 j-atoms instead of 8 - measured 7.5%
+        # faster than single-group streaming (scripts/r4_microkernel.py),
+        # bit-identical results.  An odd count duplicates its last group;
+        # the max-accumulate is idempotent, so that is free and exact.
+        def kpair(k, occ):
+            g1 = glist_ref[k * 2]
+            g2 = glist_ref[jnp.minimum(k * 2 + 1, pos - 1)]
+            vx1, vy1, vz1, l1 = load_group(g1)
+            vx2, vy2, vz2, l2 = load_group(g2)
+            vxg = jnp.concatenate([vx1, vx2], axis=0)
+            vyg = jnp.concatenate([vy1, vy2], axis=0)
+            vzg = jnp.concatenate([vz1, vz2], axis=0)
+            limg = jnp.concatenate([l1, l2], axis=0)
+            for r in range(2 * J_GROUP):
                 dots = (
                     sphere_b[0] * vxg[r:r + 1, :]
                     + (
@@ -179,7 +207,7 @@ def _fused_count_kernel(
                 occ = jnp.maximum(occ, limg[r:r + 1, :] - dots)
             return occ
 
-        return jax.lax.fori_loop(0, pos, kgroup, occ)
+        return jax.lax.fori_loop(0, jax.lax.div(pos + 1, 2), kpair, occ)
 
     occ0 = jnp.full((sphere_ref.shape[0], a), _NEG_BIG)
     occ = jax.lax.fori_loop(0, cnt, process, occ0)
@@ -354,10 +382,12 @@ def build_jlist_banded(
     (tile_start .. tile_start+ts_len), so each i-tile tests exactly the
     `w`-wide band of its own structure (w static, >= max tiles/structure
     in the chunk).  AABBs are reduced from the SAME dequantized
-    coordinates the kernel reads, the 16-bit 8-atom-group masks and the
-    nearest-first (AABB separation) order match the host packer's
-    semantics (spatial_grid.rs:174-192 analog), and w <= JLIST_CAP makes
-    row overflow impossible by construction.
+    coordinates the kernel reads; the 16-bit 8-atom-group masks use
+    per-i-atom point-to-box admission (tighter than the host packer's
+    box-box test - the kernel's result is admission-order- and
+    admission-set-invariant as long as culling stays conservative), and
+    w <= JLIST_CAP makes row overflow impossible by construction.
+    Nearest-first (AABB separation) row order kept for determinism.
     """
     m = planes.shape[1]
     t = m // ATOM_TILE
@@ -413,28 +443,40 @@ def build_jlist_banded(
     reach = tmaxr[None] + jt_maxr + slack
     act = valid & (sep2 <= reach * reach)
 
-    # Fine granularity: i-tile 32-atom sub-AABBs vs the j-tile's 16
-    # 8-atom groups.  A 128-atom Morton range is often L-shaped; its
-    # full AABB covers empty space and falsely admits j-groups no i-atom
-    # can reach.  Testing each j-group against the i-tile's four 32-atom
-    # sub-boxes stays conservative (every i-atom lies inside the union
-    # of the sub-boxes) while cutting streamed candidates.
-    smin = gmin.reshape(t, 4, 4, 3).min(axis=2)  # [T, 4, 3]
-    smax = gmax.reshape(t, 4, 4, 3).max(axis=2)
-    smaxr = gmaxr.reshape(t, 4, 4).max(axis=2)  # [T, 4]
+    # Fine granularity: every i-ATOM (point + its own r_eff) vs the
+    # j-tile's 16 8-atom-group AABBs.  A 128-atom Morton range is often
+    # L-shaped; any box drawn around parts of it covers empty space and
+    # falsely admits j-groups no i-atom can reach.  Point-to-box
+    # admission is the tightest i-side test available without pair
+    # distances and stays conservative: the point-box gap lower-bounds
+    # every (i-atom, j-atom) distance and r_i + jg_max_r upper-bounds
+    # pair reach.  Measured on 60 real structures
+    # (scripts/r4_cull_granularity.py): streamed j/atom 1185 (4x32-atom
+    # i-sub-boxes, round-3) -> 911 here, vs a 733 group-granularity
+    # floor; finer i-BOXES were a dead end (16x8-atom boxes: 1141).
+    # Kernel counts are bit-identical; the extra build cost (~60ms/2M
+    # chunk, HBM-bound over the [nd,T,16,A] test space) buys ~120ms of
+    # kernel time (scripts/r4_atombox.py).
+    c_t = jnp.where(qvalid[:, None], c, big).reshape(t, ATOM_TILE, 3)
+    r_t = rmasked.reshape(t, ATOM_TILE)
     jg_min = shifted(gmin.reshape(t, GROUPS_PER_TILE, 3))  # [nd, T, 16, 3]
     jg_max = shifted(gmax.reshape(t, GROUPS_PER_TILE, 3))
     jg_maxr = shifted(gmaxr.reshape(t, GROUPS_PER_TILE))  # [nd, T, 16]
-    ggap = jnp.maximum(
-        jnp.maximum(
-            smin[None, :, None, :, :] - jg_max[:, :, :, None, :],
-            jg_min[:, :, :, None, :] - smax[None, :, None, :, :],
-        ),
-        0.0,
-    )  # [nd, T, 16, 4, 3]
-    gsep2 = jnp.sum(ggap * ggap, axis=-1)  # [nd, T, 16, 4]
-    greach = smaxr[None, :, None, :] + jg_maxr[:, :, :, None] + slack
-    bits = jnp.any(gsep2 <= greach * greach, axis=-1)  # [nd, T, 16]
+
+    def one_shift(args):
+        mn, mx, mr = args  # [T, 16, 3] x2, [T, 16]
+        g = jnp.maximum(
+            jnp.maximum(
+                mn[:, :, None, :] - c_t[:, None, :, :],
+                c_t[:, None, :, :] - mx[:, :, None, :],
+            ),
+            0.0,
+        )  # [T, 16, A, 3]
+        pb2 = jnp.sum(g * g, axis=-1)  # [T, 16, A]
+        rr = r_t[:, None, :] + mr[:, :, None] + slack
+        return jnp.any(pb2 <= rr * rr, axis=-1)  # [T, 16]
+
+    bits = jax.lax.map(one_shift, (jg_min, jg_max, jg_maxr))  # [nd, T, 16]
     mask = jnp.sum(
         jnp.where(bits, jnp.int32(1), jnp.int32(0))
         << jnp.arange(GROUPS_PER_TILE, dtype=jnp.int32)[None, None, :],

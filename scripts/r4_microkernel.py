@@ -1,0 +1,305 @@
+"""Round-4 kernel micro-variants on the real 2M-slot chunk.
+
+The production kernel measures ~62% of its VPU vreg-op roofline
+(1.21e9 vreg-ops -> 322ms theoretical vs ~520ms measured with atombox
+lists).  Variants probe the overhead sources:
+
+  prod     : production kernel (reference)
+  split2   : two occlusion accumulators (even/odd j), merged at the end -
+             halves the serial max-dependency chain per group
+  g16      : 16-atom j-groups (32-bit masks not needed: groups pair up,
+             mask bit g covers rows [16g,16g+16) - here just streams two
+             8-groups per glist entry to halve loop/prep overhead; uses
+             the SAME 16-bit/8-atom admission, so streamed work is
+             unchanged and only overhead amortization differs)
+  nosmem   : group compaction replaced by straight masked streaming of
+             all 16 groups (control: how much does compaction save now?)
+"""
+import functools
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from rustsasa_tpu.utils.jax_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from rustsasa_tpu.native import native_process_file  # noqa: E402
+from rustsasa_tpu.ops import fused_kernel as fk  # noqa: E402
+from rustsasa_tpu.ops.engine import _sphere_packed  # noqa: E402
+
+ATOM_TILE = 128
+JLIST_ROWS = 128
+GROUPS_PER_TILE = 16
+_NEG_BIG = np.float32(-1e30)
+M_PAD = 2097152
+CORPUS = "/tmp/rustsasa_tpu_bench_corpus"
+
+
+@jax.jit
+def _tiny(x):
+    return x * 1.0
+
+
+def sync():
+    np.asarray(_tiny(np.zeros(8, np.float32)))
+
+
+def make_kernel(variant):
+    def kern(
+        sphere_ref, planes_i_ref, jlist_ref, planes_t_hbm_ref,
+        out_ref, jbuf, sphere_b, glist_ref, sems,
+    ):
+        a = planes_i_ref.shape[1]
+        xi = planes_i_ref[0:1, :]
+        yi = planes_i_ref[1:2, :]
+        zi = planes_i_ref[2:3, :]
+        reffi = planes_i_ref[3:4, :]
+        gidi = planes_i_ref[4:5, :]
+        r2i = reffi * reffi
+        inv2ri = 0.5 / jnp.maximum(reffi, 1e-6)
+
+        ones_a = jnp.ones((1, a), dtype=jnp.float32)
+        sphere_b[0] = sphere_ref[:, 0:1] * ones_a
+        sphere_b[1] = sphere_ref[:, 1:2] * ones_a
+        sphere_b[2] = sphere_ref[:, 2:3] * ones_a
+
+        jrow = jax.lax.rem(pl.program_id(0), 8)
+        cnt = jlist_ref[jrow, 0]
+
+        def start_dma(slot, idx):
+            entry = jlist_ref[jrow, idx + 1]
+            j = jax.lax.bitwise_and(entry, 0xFFFF)
+            return pltpu.make_async_copy(
+                planes_t_hbm_ref.at[pl.ds(j * a, a), :],
+                jbuf.at[pl.ds(slot * a, a), :],
+                sems.at[slot],
+            )
+
+        @pl.when(cnt > 0)
+        def _():
+            start_dma(0, 0).start()
+
+        def group_rows(base, g, width):
+            rows = jbuf[pl.ds(base + g * 8, width), :]
+            xk = rows[:, 0:1]
+            yk = rows[:, 1:2]
+            zk = rows[:, 2:3]
+            rk = rows[:, 3:4]
+            gk = rows[:, 4:5]
+            vxg = xi - xk
+            vyg = yi - yk
+            vzg = zi - zk
+            v2g = vxg * vxg + vyg * vyg + vzg * vzg
+            limg = (rk * rk - v2g - r2i) * inv2ri
+            limg = jnp.where((gidi == gk) | (gk == 0.0), _NEG_BIG, limg)
+            return vxg, vyg, vzg, limg
+
+        def upd(occ, vxg, vyg, vzg, limg, r):
+            dots = (
+                sphere_b[0] * vxg[r:r + 1, :]
+                + (sphere_b[1] * vyg[r:r + 1, :]
+                   + sphere_b[2] * vzg[r:r + 1, :])
+            )
+            return jnp.maximum(occ, limg[r:r + 1, :] - dots)
+
+        def process(idx, occ):
+            slot = jax.lax.rem(idx, 2)
+
+            @pl.when(idx + 1 < cnt)
+            def _():
+                start_dma(1 - slot, idx + 1).start()
+
+            entry = jlist_ref[jrow, idx + 1]
+            mask = jax.lax.shift_right_logical(entry, 16)
+            base = slot * a
+
+            if variant == "nosmem":
+                start_dma(slot, idx).wait()
+
+                def kgroup(g, occ):
+                    vxg, vyg, vzg, limg = group_rows(base, g, 8)
+                    gate = jnp.where(
+                        jax.lax.bitwise_and(
+                            jax.lax.shift_right_logical(mask, g), 1
+                        ) == 1,
+                        jnp.float32(0.0), jnp.float32(_NEG_BIG),
+                    )
+                    limg = limg + gate
+                    for r in range(8):
+                        occ = upd(occ, vxg, vyg, vzg, limg, r)
+                    return occ
+
+                return jax.lax.fori_loop(0, GROUPS_PER_TILE, kgroup, occ)
+
+            pos = jnp.int32(0)
+            for g in range(GROUPS_PER_TILE):
+                glist_ref[pos] = jnp.int32(g)
+                pos = pos + jax.lax.bitwise_and(
+                    jax.lax.shift_right_logical(mask, g), 1
+                )
+            start_dma(slot, idx).wait()
+
+            if variant == "prod":
+                def kgroup(k, occ):
+                    g = glist_ref[k]
+                    vxg, vyg, vzg, limg = group_rows(base, g, 8)
+                    for r in range(8):
+                        occ = upd(occ, vxg, vyg, vzg, limg, r)
+                    return occ
+
+                return jax.lax.fori_loop(0, pos, kgroup, occ)
+
+            if variant == "split2":
+                def kgroup(k, carry):
+                    o1, o2 = carry
+                    g = glist_ref[k]
+                    vxg, vyg, vzg, limg = group_rows(base, g, 8)
+                    for r in range(0, 8, 2):
+                        o1 = upd(o1, vxg, vyg, vzg, limg, r)
+                        o2 = upd(o2, vxg, vyg, vzg, limg, r + 1)
+                    return o1, o2
+
+                o1, o2 = jax.lax.fori_loop(0, pos, kgroup, (occ, occ))
+                return jnp.maximum(o1, o2)
+
+            if variant == "g16":
+                # stream glist entries in PAIRS: one 16-row load + one
+                # prep chain covers 2 admitted groups; odd tail handled
+                # by duplicating the last group (idempotent max).
+                def kgroup(k, occ):
+                    g1 = glist_ref[k * 2]
+                    g2 = glist_ref[jnp.minimum(k * 2 + 1, pos - 1)]
+                    # two groups may be non-adjacent: two 8-row loads,
+                    # shared prep chain
+                    vx1, vy1, vz1, l1 = group_rows(base, g1, 8)
+                    vx2, vy2, vz2, l2 = group_rows(base, g2, 8)
+                    vxg = jnp.concatenate([vx1, vx2], axis=0)
+                    vyg = jnp.concatenate([vy1, vy2], axis=0)
+                    vzg = jnp.concatenate([vz1, vz2], axis=0)
+                    limg = jnp.concatenate([l1, l2], axis=0)
+                    for r in range(16):
+                        occ = upd(occ, vxg, vyg, vzg, limg, r)
+                    return occ
+
+                npairs = jax.lax.div(pos + 1, 2)
+                return jax.lax.fori_loop(0, npairs, kgroup, occ)
+
+            raise ValueError(variant)
+
+        occ0 = jnp.full((sphere_ref.shape[0], a), _NEG_BIG)
+        occ = jax.lax.fori_loop(0, cnt, process, occ0)
+        pv = sphere_ref[:, 3:4] * jnp.ones((1, a), dtype=jnp.float32)
+        out_ref[...] = jnp.sum(
+            jnp.where((occ <= 0.0) & (pv > 0.0), 1.0, 0.0),
+            axis=0, keepdims=True,
+        )
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("variant",))
+def run_variant_counts(planes5, jlist, sphere128, *, variant):
+    m = planes5.shape[1]
+    planes = jnp.zeros((8, m), dtype=jnp.float32)
+    planes = planes.at[0:5].set(planes5)
+    if jlist.dtype == jnp.uint32:
+        jlist = jax.lax.bitcast_convert_type(jlist, jnp.int32)
+    planes_t = jnp.zeros((m, 128), dtype=jnp.float32)
+    planes_t = planes_t.at[:, 0:8].set(planes.T)
+    t = m // ATOM_TILE
+    p = sphere128.shape[0]
+    t_pad = ((t + 7) // 8) * 8
+    if jlist.shape[0] != t_pad:
+        jlist = jnp.pad(jlist, ((0, t_pad - jlist.shape[0]), (0, 0)))
+    out = pl.pallas_call(
+        make_kernel(variant),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((p, 128), lambda i: (0, 0)),
+            pl.BlockSpec((8, ATOM_TILE), lambda i: (0, i)),
+            pl.BlockSpec((8, JLIST_ROWS), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, ATOM_TILE), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((1, m), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * ATOM_TILE, 128), jnp.float32),
+            pltpu.VMEM((3, p, ATOM_TILE), jnp.float32),
+            pltpu.SMEM((GROUPS_PER_TILE,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(sphere128, planes, jlist, planes_t)
+    return out.reshape(m).astype(jnp.float16)
+
+
+def main():
+    files = sorted(os.listdir(CORPUS))[:900]
+    pool = ThreadPoolExecutor(max_workers=4)
+
+    def load(path):
+        return native_process_file(
+            os.path.join(CORPUS, path), level="residue",
+            include_hydrogens=False, include_hetatms=False,
+            read_radii_from_occupancy=False, allow_vdw_fallback=False,
+        )
+
+    handles = list(pool.map(load, files))
+    triples = [(h.coords, h.radii, h.gids) for h in handles]
+    n_atoms = sum(t[0].shape[0] for t in triples)
+    planes, jlist, offsets, failed = fk.pack_structures(triples, 1.4, 100)
+    m = planes.shape[1]
+    planes_p = np.pad(planes, ((0, 0), (0, M_PAD - m)))
+    jlist_p = np.pad(jlist, ((0, (M_PAD - m) // 128), (0, 0)))
+    sphere = np.zeros((104, 128), np.float32)
+    sphere[:, 0:4] = _sphere_packed(100)
+    print(f"{len(files)} files, {n_atoms} atoms, M={M_PAD}", flush=True)
+    sync()
+    d_planes = jax.device_put(planes_p)
+    d_jlist = jax.device_put(jlist_p)
+    d_sphere = jax.device_put(sphere)
+    sync()
+
+    ref_counts = None
+    for variant in ("prod", "split2", "g16", "nosmem"):
+        t0 = time.time()
+        out = run_variant_counts(d_planes, d_jlist, d_sphere, variant=variant)
+        counts = np.asarray(out)
+        t_first = time.time() - t0
+        times = []
+        for _ in range(4):
+            sync()
+            t0 = time.perf_counter()
+            out = run_variant_counts(
+                d_planes, d_jlist, d_sphere, variant=variant
+            )
+            _ = np.asarray(out[0:8])
+            times.append(time.perf_counter() - t0)
+        tbest = min(times)
+        if ref_counts is None:
+            ref_counts = counts
+            dmax = 0.0
+        else:
+            dmax = float(np.abs(
+                counts.astype(np.float32) - ref_counts.astype(np.float32)
+            ).max())
+        print(
+            f"{variant:8s} first(+compile) {t_first:6.1f}s  "
+            f"warm {tbest*1e3:7.1f}ms  {n_atoms/tbest/1e6:6.2f} Matoms/s  "
+            f"max|dc|={dmax:.1f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

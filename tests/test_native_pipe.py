@@ -5,6 +5,7 @@ paths) are the executable specification; the native pipeline must agree
 on every reference structure and every output level.
 """
 
+import json
 import os
 
 import numpy as np
@@ -216,3 +217,57 @@ def test_fastpack_matches_numpy_on_overflow():
         np.arange(64, dtype=np.int32),
     )
     _pack_parity_case([small, big, small])
+
+
+def test_fused_counts_native_emit_parity(reference_data_dir, tmp_path, monkeypatch):
+    """The fully-fused sink (device counts -> C++ emit_counts) must write
+    byte-identical output to the Python unpack + emit route.  Runs the
+    production fused path in interpret mode so it works on the CPU suite."""
+    import rustsasa_tpu.batch as batch_mod
+    from rustsasa_tpu.api import SASAOptions
+    from rustsasa_tpu.levels import Level
+    from rustsasa_tpu.native import pipe_library
+
+    if pipe_library() is None:
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("RUSTSASA_TPU_BACKEND", "fused_interpret")
+
+    src = tmp_path / "in"
+    src.mkdir()
+    import gzip
+    import shutil as _sh
+
+    pdbs = sorted(
+        (reference_data_dir / "freesasa_pdbs").glob("*.pdb*")
+    )[:2]
+    for p in pdbs:
+        if p.name.endswith(".gz"):
+            with gzip.open(p, "rb") as f:
+                (src / p.name[:-3]).write_bytes(f.read())
+        else:
+            _sh.copy(p, src / p.name)
+
+    fused_out = tmp_path / "fused"
+    report = batch_mod.process_directory(
+        str(src), str(fused_out), SASAOptions(level=Level.RESIDUE),
+        "json", progress=False,
+    )
+    assert report.n_ok == len(pdbs) and not report.errors
+    assert report.total_area > 0
+
+    # Reference route: XLA backend + Python serialization.
+    monkeypatch.setenv("RUSTSASA_TPU_BACKEND", "xla")
+    xla_out = tmp_path / "xla"
+    report2 = batch_mod.process_directory(
+        str(src), str(xla_out), SASAOptions(level=Level.RESIDUE),
+        "json", progress=False,
+    )
+    assert report2.n_ok == len(pdbs)
+    for f in sorted(fused_out.iterdir()):
+        a = json.loads(f.read_text())
+        b = json.loads((xla_out / f.name).read_text())
+        ra = {(r["chain_id"], r["serial_number"]): r["value"] for r in a["Residue"]}
+        rb = {(r["chain_id"], r["serial_number"]): r["value"] for r in b["Residue"]}
+        assert ra.keys() == rb.keys()
+        for k in ra:
+            assert abs(ra[k] - rb[k]) < 26.0  # golden eps scale
