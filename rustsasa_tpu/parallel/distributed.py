@@ -136,7 +136,18 @@ def process_directory_distributed(
 ) -> GlobalReport:
     """Multi-host directory batch: shard files, process locally, reduce
     metrics globally.  Every host must call this collectively."""
+    import jax
+
     from ..batch import process_directory
+
+    if jax.process_count() > 1:
+        # Establish the cross-process collective context NOW, while all
+        # hosts are still in lockstep after startup.  The first psum
+        # builds the Gloo/ICI communicator with a bounded peer-rendezvous
+        # timeout (~30 s on the CPU backend); deferring it to the final
+        # metrics reduce makes the whole job die whenever shard
+        # processing skews hosts by more than that timeout.
+        allreduce_metrics(0, 0, 0, 0.0)
 
     entries = sorted(os.listdir(input_dir))
     files = [f for f in entries if os.path.isfile(os.path.join(input_dir, f))]

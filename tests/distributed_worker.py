@@ -18,13 +18,26 @@ def main() -> int:
     coord, nprocs, pid, input_dir, output_dir, report_path = sys.argv[1:7]
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+    # Optional core pinning (scripts/scaling_curve.py): gives every worker
+    # a fixed CPU budget so the scaling curve measures data-parallel
+    # speedup rather than XLA's intra-process multithreading, which
+    # already saturates this host's cores with a single worker.
+    pin = os.environ.get("RSASA_PIN_CPU")
+    if pin is not None:
+        os.sched_setaffinity(0, {int(pin)})
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Generous shutdown barrier: on an oversubscribed host one worker can
+    # finish its shard (and reach the exit barrier) long before another -
+    # the default 300 s barrier then kills BOTH with DEADLINE_EXCEEDED.
     jax.distributed.initialize(
         coordinator_address=coord,
         num_processes=int(nprocs),
         process_id=int(pid),
+        initialization_timeout=600,
+        shutdown_timeout_seconds=900,
     )
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -32,6 +45,9 @@ def main() -> int:
     from rustsasa_tpu.levels import Level
     from rustsasa_tpu.parallel.distributed import process_directory_distributed
 
+    import time
+
+    t0 = time.time()
     report = process_directory_distributed(
         input_dir,
         output_dir,
@@ -39,6 +55,7 @@ def main() -> int:
         "json",
         progress=False,
     )
+    elapsed = time.time() - t0
     with open(report_path, "w") as f:
         json.dump(
             {
@@ -48,6 +65,7 @@ def main() -> int:
                 "total_area": report.total_area,
                 "process_index": jax.process_index(),
                 "process_count": jax.process_count(),
+                "elapsed_s": elapsed,
             },
             f,
         )
