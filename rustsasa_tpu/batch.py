@@ -339,11 +339,24 @@ def process_directory(
         inflight: deque = deque()  # (good_batch, enqueue-future)
         batch_good: list = []
         batch_slots = 0
+        consumed_slots = 0
         # Ramped thresholds: the first two dispatches fill the 0.5M- and
         # 1M-slot chunk buckets exactly, so the device starts ~4x sooner
         # than waiting for a full 2M chunk and no padding is wasted.
         ramp = deque([524288, 1048576])
         threshold = min(ramp.popleft(), CHUNK_SLOT_BUDGET)
+
+        def effective_threshold(received: int) -> int:
+            # Down-ramp near the end of the corpus: once the estimated
+            # remaining work is under ~2.5 full chunks, dispatch at the
+            # 1M-slot bucket so the tail's device time overlaps the last
+            # parses instead of serializing after them.
+            if ramp or received == 0:
+                return threshold
+            est_rem = (len(files) - received) * (consumed_slots / received)
+            if est_rem < 2.5 * CHUNK_SLOT_BUDGET:
+                return min(1048576, threshold)
+            return threshold
 
         def dispatch_batch():
             nonlocal batch_good, batch_slots, threshold
@@ -403,7 +416,10 @@ def process_directory(
                     else h[1].coords.shape[0]
                 )
                 slots = max(-(-max(n, 1) // 128) * 128, 128)
-                if batch_good and batch_slots + slots > threshold:
+                consumed_slots += slots
+                if batch_good and batch_slots + slots > effective_threshold(
+                    received
+                ):
                     dispatch_batch()
                     while len(inflight) > 2:
                         collect_oldest()
