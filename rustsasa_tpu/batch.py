@@ -417,8 +417,8 @@ def process_directory(
                 )
                 slots = max(-(-max(n, 1) // 128) * 128, 128)
                 consumed_slots += slots
-                if batch_good and batch_slots + slots > effective_threshold(
-                    received
+                if batch_good and batch_slots + slots > (
+                    effective_threshold(received)
                 ):
                     dispatch_batch()
                     while len(inflight) > 2:
