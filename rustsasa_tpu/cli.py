@@ -240,15 +240,22 @@ def _run_single_native(args, opts: SASAOptions, fmt: str) -> bool:
     except Exception as e:  # noqa: BLE001 - typed exit below
         raise CLIError(f"SASA calculation failed: {e}") from e
     try:
-        engine = BatchedSasaEngine(
-            SasaParams(
-                probe_radius=opts.probe_radius, n_points=opts.n_points
+        try:
+            engine = BatchedSasaEngine(
+                SasaParams(
+                    probe_radius=opts.probe_radius, n_points=opts.n_points
+                )
             )
-        )
-        (sasa,) = engine.compute([(ns.coords, ns.radii, ns.gids)])
-        ns.emit(sasa, opts.level.value, fmt, args.output)
-    except Exception as e:  # noqa: BLE001 - typed exit below
-        raise CLIError(f"SASA calculation failed: {e}") from e
+            (sasa,) = engine.compute([(ns.coords, ns.radii, ns.gids)])
+        except Exception as e:  # noqa: BLE001 - typed exit below
+            raise CLIError(f"SASA calculation failed: {e}") from e
+        try:
+            ns.emit(sasa, opts.level.value, fmt, args.output)
+        except OSError as e:
+            # Same user-facing contract as the Python route's write stage.
+            raise CLIError(f"Failed to write output file: {e}") from e
+        except Exception as e:  # noqa: BLE001 - typed exit below
+            raise CLIError(f"SASA calculation failed: {e}") from e
     finally:
         ns.close()
     return True

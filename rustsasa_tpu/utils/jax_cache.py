@@ -34,7 +34,20 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
         pass
     path = cache_dir or os.environ.get("RUSTSASA_TPU_CACHE", _DEFAULT_DIR)
     try:
-        os.makedirs(path, exist_ok=True)
+        try:
+            os.makedirs(path, exist_ok=True)
+            writable = os.access(path, os.W_OK)
+        except OSError:
+            writable = False
+        if not writable:
+            # Shared/read-only install (e.g. root-owned site-packages):
+            # fall back to a per-user cache instead of failing silently
+            # or polluting the install tree.
+            path = os.path.join(
+                os.path.expanduser("~"), ".cache", "rustsasa_tpu",
+                "jax_cache",
+            )
+            os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -30,7 +30,11 @@ def run_gate() -> dict:
 
     from quality_report import evaluate_depth
 
+    import math
+
     r = evaluate_depth("residue")
+    if not math.isfinite(r["rmse"]):
+        r["rmse"] = 1e30  # JSON-safe sentinel; pass stays False below
     dev = jax.devices()[0]
     out = {
         "gate": "freesasa_88pdb_residue_chain_rmse",

@@ -90,8 +90,12 @@ def evaluate_depth(depth: str, pdb_dir: str = DEFAULT_PDB_DIR,
             if key in mine:
                 ref.append(rv)
                 ours.append(mine[key])
-    rmse = math.sqrt(
-        sum((a - b) ** 2 for a, b in zip(ours, ref)) / len(ours)
+    # Zero matched comparisons IS the catastrophic case the gate exists
+    # for (e.g. every file errored): report rmse=inf so the artifact says
+    # pass=false instead of crashing with ZeroDivisionError.
+    rmse = (
+        math.sqrt(sum((a - b) ** 2 for a, b in zip(ours, ref)) / len(ours))
+        if ours else float("inf")
     )
     return {
         "depth": depth,

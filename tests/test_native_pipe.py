@@ -271,3 +271,57 @@ def test_fused_counts_native_emit_parity(reference_data_dir, tmp_path, monkeypat
         assert ra.keys() == rb.keys()
         for k in ra:
             assert abs(ra[k] - rb[k]) < 26.0  # golden eps scale
+
+
+def test_fused_counts_native_sink_bytes_match_python_unpack(
+    reference_data_dir, tmp_path, monkeypatch
+):
+    """emit_counts (C++ fused unpack+emit) must produce BYTE-identical
+    files to the Python route (CountsView materialization + handle.emit)
+    on the SAME fused backend - this pins the bit-identical contract the
+    cross-backend test above cannot (it allows numeric tolerance)."""
+    import rustsasa_tpu.batch as batch_mod
+    from rustsasa_tpu.api import SASAOptions
+    from rustsasa_tpu.levels import Level
+    from rustsasa_tpu.native import pipe_library
+
+    if pipe_library() is None:
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("RUSTSASA_TPU_BACKEND", "fused_interpret")
+
+    import gzip
+    import shutil as _sh
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for p in sorted((reference_data_dir / "freesasa_pdbs").glob("*.pdb*"))[:2]:
+        if p.name.endswith(".gz"):
+            with gzip.open(p, "rb") as f:
+                (src / p.name[:-3]).write_bytes(f.read())
+        else:
+            _sh.copy(p, src / p.name)
+
+    native_out = tmp_path / "native_sink"
+    r1 = batch_mod.process_directory(
+        str(src), str(native_out), SASAOptions(level=Level.RESIDUE),
+        "json", progress=False,
+    )
+    assert r1.n_ok == 2 and not r1.errors
+
+    # Force the Python unpack route: make the isinstance check in _emit
+    # never match, so CountsView thunks materialize and handle.emit runs.
+    monkeypatch.setattr(batch_mod, "CountsView", type("_Never", (), {}))
+    py_out = tmp_path / "python_unpack"
+    r2 = batch_mod.process_directory(
+        str(src), str(py_out), SASAOptions(level=Level.RESIDUE),
+        "json", progress=False,
+    )
+    assert r2.n_ok == 2 and not r2.errors
+    for f in sorted(native_out.iterdir()):
+        assert f.read_bytes() == (py_out / f.name).read_bytes()
+    # total_area is a report metric, not output: the C++ sink sums f64
+    # sequentially while the Python route sums f32 pairwise (numpy), so
+    # only relative agreement is contractual.
+    assert abs(r1.total_area - r2.total_area) <= 1e-6 * max(
+        1.0, abs(r1.total_area)
+    )
