@@ -1033,46 +1033,35 @@ SelResult* fastpipe_select(FPResult* r, int level, int include_h,
     conf_kept[c] = (conf_alt[c] == blank_alt) ||
                    (conf_first[c] == first_nb[conf_res[c]]);
 
-  std::vector<uint8_t> kept(n);
-  for (int64_t i = 0; i < n; ++i) kept[i] = conf_kept[conf_code[i]];
-
-  // Element required for every kept-conformer atom (reference fetches it
-  // before filtering, options.rs:164).
+  // Fused filter + traversal-order pass (was four separate loops over
+  // all atoms): per atom - kept-conformer gate, required-element check
+  // for kept atoms (reference fetches the element before filtering,
+  // options.rs:164), H / HETATM filters, sortedness tracking and the
+  // kept-index build.
+  std::vector<int64_t> idx;
+  idx.reserve(n);
+  const bool drop_h = !include_h && h_elem >= 0;
+  bool sorted = true;
+  uint64_t prev_key = 0;
   for (int64_t i = 0; i < n; ++i) {
-    if (kept[i] && r->element_code[i] == blank_elem) {
+    uint64_t key = (static_cast<uint64_t>(r->chain_code[i]) << 48) |
+                   (static_cast<uint64_t>(res_code[i]) << 24) |
+                   static_cast<uint64_t>(conf_code[i]);
+    if (key < prev_key) sorted = false;
+    prev_key = key;
+    if (!conf_kept[conf_code[i]]) continue;
+    if (r->element_code[i] == blank_elem) {
       auto nm = tab_entry(r->name_tab, r->name_code[i]);
       snprintf(s->error, sizeof(s->error), "E_ELEMENT\t%.*s\t%lld",
                static_cast<int>(nm.size()), nm.data(),
                static_cast<long long>(r->serial[i]));
       return s;
     }
+    if (drop_h && r->element_code[i] == h_elem) continue;
+    if (!include_het && r->hetero[i]) continue;
+    idx.push_back(i);
   }
-  if (!include_h && h_elem >= 0)
-    for (int64_t i = 0; i < n; ++i)
-      if (r->element_code[i] == h_elem) kept[i] = 0;
-  if (!include_het)
-    for (int64_t i = 0; i < n; ++i)
-      if (r->hetero[i]) kept[i] = 0;
-
-  // Hierarchy traversal order: (chain, residue, conformer, position).
-  std::vector<int64_t> idx;
-  idx.reserve(n);
-  bool sorted = true;
-  for (int64_t i = 1; i < n && sorted; ++i) {
-    uint64_t a = (static_cast<uint64_t>(r->chain_code[i - 1]) << 48) |
-                 (static_cast<uint64_t>(res_code[i - 1]) << 24) |
-                 static_cast<uint64_t>(conf_code[i - 1]);
-    uint64_t b = (static_cast<uint64_t>(r->chain_code[i]) << 48) |
-                 (static_cast<uint64_t>(res_code[i]) << 24) |
-                 static_cast<uint64_t>(conf_code[i]);
-    if (b < a) sorted = false;
-  }
-  if (sorted) {
-    for (int64_t i = 0; i < n; ++i)
-      if (kept[i]) idx.push_back(i);
-  } else {
-    for (int64_t i = 0; i < n; ++i)
-      if (kept[i]) idx.push_back(i);
+  if (!sorted) {
     std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
       if (r->chain_code[a] != r->chain_code[b])
         return r->chain_code[a] < r->chain_code[b];

@@ -311,8 +311,11 @@ R_QUANT = 8192.0
 # structure has <= w tiles builds its j-lists on the TPU (see
 # build_jlist_banded).  127 = JLIST_CAP, so a full band can never
 # overflow a j-list row; chunks with bigger structures use the host
-# culling path.
-W_BUCKETS = (32, 64, 127)
+# culling path.  The ladder is finer at the small end: the banded
+# build's cost is proportional to the band width nd = 2w-1, and typical
+# AlphaFold-scale proteins (1-4k atoms = 8-32 tiles) otherwise pay a
+# 32-tile band - w=16/24 cut the per-chunk build ~25-50% for them.
+W_BUCKETS = (16, 24, 32, 64, 127)
 
 # Slack for the device-side AABB cull.  Unlike the host cull (which must
 # stay conservative across u16 quantization, CULL_SLACK=0.08), the

@@ -35,11 +35,16 @@ for m in E._FUSED_M_BUCKETS:
             flush=True,
         )
 
-# Wider band buckets (w=64 / w=127): chunks containing a structure of
-# 33-64 / 65-127 tiles compile separate (M, w) variants.  The first two
-# rows are the SINGLE-FILE CLI shapes: one 33-64-tile file lands in the
-# 8192 bucket at w=64, one 65-127-tile file in 32768 at w=127.
-for m, big_n in [(8192, 5000), (32768, 12000),
+# Wider band buckets: chunks compile separate (M, w) variants keyed by
+# the largest structure's tile count (W_BUCKETS ladder: 16/24/32/64/127
+# tiles <-> <=2048/3072/4096/8192/16256 atoms).  The 2.6k/4k rows cover
+# the w=24/32 bands typical proteome chunks use; 5000 -> w=64 single-file
+# CLI shape; 12000/16000 -> w=127.
+for m, big_n in [(8192, 2600), (32768, 2600), (131072, 2600),
+                 (524288, 2600), (1048576, 2600), (2097152, 2600),
+                 (8192, 4000), (32768, 4000), (131072, 4000),
+                 (524288, 4000), (1048576, 4000), (2097152, 4000),
+                 (8192, 5000), (32768, 12000),
                  (32768, 8000), (131072, 8000), (524288, 8000),
                  (2097152, 8000), (4194304, 8000),
                  (131072, 16000), (2097152, 16000), (4194304, 16000)]:
