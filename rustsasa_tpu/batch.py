@@ -354,6 +354,8 @@ def process_directory(
             if ramp or received == 0:
                 return threshold
             est_rem = (len(files) - received) * (consumed_slots / received)
+            if est_rem < 0.8 * CHUNK_SLOT_BUDGET:
+                return min(524288, threshold)
             if est_rem < 2.5 * CHUNK_SLOT_BUDGET:
                 return min(1048576, threshold)
             return threshold

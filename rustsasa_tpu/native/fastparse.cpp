@@ -120,6 +120,24 @@ struct Interner {
   }
 };
 
+// Direct-mapped cache in front of an Interner keyed by the RAW 4-byte
+// column window (before trimming).  Sound because the trimmed value -
+// and therefore the interned code - is a pure function of the raw
+// window; a hash collision only evicts, never mis-returns.  Interning
+// measured 40% of PDB parse time (ablation, scripts history r4): the
+// hit path replaces trim + 8-byte pack + table probe with one u32
+// compare.
+struct RawCache {
+  uint32_t raw[128];
+  int32_t code[128];
+  RawCache() {
+    for (int i = 0; i < 128; ++i) {
+      raw[i] = 0xFFFFFFFFu;
+      code[i] = -1;
+    }
+  }
+};
+
 struct Builder {
   std::vector<float> coords;
   std::vector<int64_t> serial;
@@ -130,6 +148,7 @@ struct Builder {
   std::vector<int32_t> chain_code, resname_code, name_code, alt_code,
       icode_code, element_code;
   Interner chain_tab, resname_tab, name_tab, alt_tab, icode_tab, element_tab;
+  RawCache name_raw, resname_raw;
   std::string error;
 };
 
@@ -138,6 +157,21 @@ inline std::string_view trim(std::string_view s) {
   while (b < e && (s[b] == ' ' || s[b] == '\t' || s[b] == '\r')) ++b;
   while (e > b && (s[e - 1] == ' ' || s[e - 1] == '\t' || s[e - 1] == '\r')) --e;
   return s.substr(b, e - b);
+}
+
+// Intern the trimmed `width`-char field starting at p, cached by the raw
+// 4 bytes at p (width <= 4; bytes beyond the field only widen the cache
+// key, which stays consistent for identical windows).
+inline int32_t intern_raw4(Interner& tab, RawCache& c, const char* p,
+                           int width) {
+  uint32_t k;
+  memcpy(&k, p, 4);
+  uint32_t h = (k * 2654435761u) >> 25;  // top 7 bits -> 128 slots
+  if (c.raw[h] == k && c.code[h] >= 0) return c.code[h];
+  int32_t code = tab.intern(trim(std::string_view(p, width)));
+  c.raw[h] = k;
+  c.code[h] = code;
+  return code;
 }
 
 inline double parse_float(std::string_view s, double dflt) {
@@ -342,14 +376,17 @@ void parse_pdb_line(Builder& b, std::string_view line, bool hetero,
     b.serial.push_back(parse_int(field(line, 6, 11), 0));
   }
   std::string_view raw_name = field(line, 12, 16);
-  b.name_code.push_back(b.name_tab.intern(trim(raw_name)));
   if (fixed) {
+    b.name_code.push_back(
+        intern_raw4(b.name_tab, b.name_raw, d + 12, 4));
     b.alt_code.push_back(b.alt_tab.intern_char(d[16]));
-    b.resname_code.push_back(b.resname_tab.intern(trim(field(line, 17, 20))));
+    b.resname_code.push_back(
+        intern_raw4(b.resname_tab, b.resname_raw, d + 17, 3));
     b.chain_code.push_back(b.chain_tab.intern_char(d[21]));
     b.res_serial.push_back(parse_fixed_int(d + 22, 4, 0));
     b.icode_code.push_back(b.icode_tab.intern_char(d[26]));
   } else {
+    b.name_code.push_back(b.name_tab.intern(trim(raw_name)));
     b.alt_code.push_back(b.alt_tab.intern(trim(field(line, 16, 17))));
     b.resname_code.push_back(b.resname_tab.intern(trim(field(line, 17, 20))));
     b.chain_code.push_back(b.chain_tab.intern(trim(field(line, 21, 22))));
