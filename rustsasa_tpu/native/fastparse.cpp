@@ -975,6 +975,18 @@ void fastpipe_set_radii(const char* pair_blob, const char* vdw_blob) {
 // residue/chain aggregation metadata (reference: options.rs:139-464;
 // executable spec: rustsasa_tpu.levels.build_selection).
 // level: 0=atom 1=residue 2=chain 3=protein.
+// Per-thread scratch for fastpipe_select temporaries: reused across
+// calls so the ~10 short-lived vectors per file stop paying
+// malloc + first-touch every time (worker threads each get their own).
+struct SelScratch {
+  std::vector<int32_t> res_code, conf_code, conf_res, conf_alt;
+  std::vector<int64_t> res_first, conf_first, first_nb, idx;
+  std::vector<uint8_t> conf_kept;
+  std::vector<int32_t> res_order, slot_of_code;
+  std::vector<float> flat;
+};
+static thread_local SelScratch g_sel_scratch;
+
 SelResult* fastpipe_select(FPResult* r, int level, int include_h,
                            int include_het, int read_occ, int allow_vdw) {
   auto* owner = new SelOwner();
@@ -1013,12 +1025,29 @@ SelResult* fastpipe_select(FPResult* r, int level, int include_h,
   const int32_t blank_elem = find_code(r->element_tab, r->n_element, "");
   const int32_t h_elem = find_code(r->element_tab, r->n_element, "H");
 
-  // Residue codes (chain, res_serial, icode) in first-appearance order.
+  // Residue codes (chain, res_serial, icode) and conformer codes (res,
+  // resname, alt), both in first-appearance order, in ONE fused pass
+  // (was two whole-atom loops).  Consecutive-key caches cover the
+  // common runs; the hash maps only see boundaries.
+  SelScratch& sc = g_sel_scratch;
   std::unordered_map<uint64_t, int32_t> res_map;
   res_map.reserve(static_cast<size_t>(n / 6));
-  std::vector<int32_t> res_code(n);
-  std::vector<int64_t> res_first;
+  auto& res_code = sc.res_code;
+  res_code.resize(n);
+  auto& res_first = sc.res_first;
+  res_first.clear();
+  std::unordered_map<uint64_t, int32_t> conf_map;
+  conf_map.reserve(static_cast<size_t>(n / 4));
+  auto& conf_code = sc.conf_code;
+  conf_code.resize(n);
+  auto& conf_first = sc.conf_first;
+  conf_first.clear();
+  auto& conf_res = sc.conf_res;
+  conf_res.clear();
+  auto& conf_alt = sc.conf_alt;
+  conf_alt.clear();
   uint64_t last_rkey = ~0ull; int32_t last_rcode = -1;
+  uint64_t last_ckey = ~0ull; int32_t last_ccode = -1;
   for (int64_t i = 0; i < n; ++i) {
     uint64_t key = (static_cast<uint64_t>(r->chain_code[i]) << 45) |
                    (static_cast<uint64_t>(r->res_serial[i] + (1ll << 32)) << 12) |
@@ -1030,42 +1059,34 @@ SelResult* fastpipe_select(FPResult* r, int level, int include_h,
       last_rcode = it->second;
     }
     res_code[i] = last_rcode;
-  }
-  const int64_t n_res = static_cast<int64_t>(res_first.size());
-
-  // Conformer codes (res, resname, alt) in first-appearance order.
-  std::unordered_map<uint64_t, int32_t> conf_map;
-  conf_map.reserve(static_cast<size_t>(n_res) * 2);
-  std::vector<int32_t> conf_code(n);
-  std::vector<int64_t> conf_first;
-  std::vector<int32_t> conf_res, conf_alt;
-  uint64_t last_ckey = ~0ull; int32_t last_ccode = -1;
-  for (int64_t i = 0; i < n; ++i) {
-    uint64_t key = (static_cast<uint64_t>(res_code[i]) << 24) |
-                   (static_cast<uint64_t>(r->resname_code[i]) << 12) |
-                   static_cast<uint64_t>(r->alt_code[i]);
-    if (key != last_ckey) {
-      auto [it, ins] = conf_map.try_emplace(key, static_cast<int32_t>(conf_first.size()));
+    uint64_t ckey = (static_cast<uint64_t>(last_rcode) << 24) |
+                    (static_cast<uint64_t>(r->resname_code[i]) << 12) |
+                    static_cast<uint64_t>(r->alt_code[i]);
+    if (ckey != last_ckey) {
+      auto [it, ins] = conf_map.try_emplace(ckey, static_cast<int32_t>(conf_first.size()));
       if (ins) {
         conf_first.push_back(i);
-        conf_res.push_back(res_code[i]);
+        conf_res.push_back(last_rcode);
         conf_alt.push_back(r->alt_code[i]);
       }
-      last_ckey = key;
+      last_ckey = ckey;
       last_ccode = it->second;
     }
     conf_code[i] = last_ccode;
   }
+  const int64_t n_res = static_cast<int64_t>(res_first.size());
   const int64_t n_conf = static_cast<int64_t>(conf_first.size());
 
   // Kept conformers: blank alt-loc plus the residue's FIRST alternate
   // (levels.py alt-loc policy; reference first-conformer semantics
   // options.rs:162,255,333,433 resolved against FreeSASA parity).
-  std::vector<int64_t> first_nb(n_res, INT64_MAX);
+  auto& first_nb = sc.first_nb;
+  first_nb.assign(n_res, INT64_MAX);
   for (int64_t c = 0; c < n_conf; ++c)
     if (conf_alt[c] != blank_alt && conf_first[c] < first_nb[conf_res[c]])
       first_nb[conf_res[c]] = conf_first[c];
-  std::vector<uint8_t> conf_kept(n_conf);
+  auto& conf_kept = sc.conf_kept;
+  conf_kept.resize(n_conf);
   for (int64_t c = 0; c < n_conf; ++c)
     conf_kept[c] = (conf_alt[c] == blank_alt) ||
                    (conf_first[c] == first_nb[conf_res[c]]);
@@ -1075,7 +1096,8 @@ SelResult* fastpipe_select(FPResult* r, int level, int include_h,
   // for kept atoms (reference fetches the element before filtering,
   // options.rs:164), H / HETATM filters, sortedness tracking and the
   // kept-index build.
-  std::vector<int64_t> idx;
+  auto& idx = sc.idx;
+  idx.clear();
   idx.reserve(n);
   const bool drop_h = !include_h && h_elem >= 0;
   bool sorted = true;
@@ -1153,7 +1175,8 @@ SelResult* fastpipe_select(FPResult* r, int level, int include_h,
         static_cast<int64_t>(r->n_resname) * r->n_name;
     if (flat_size > 0 && flat_size <= (1 << 18)) {
       const float kUnset = -1.0f;
-      std::vector<float> flat(static_cast<size_t>(flat_size), kUnset);
+      auto& flat = sc.flat;
+      flat.assign(static_cast<size_t>(flat_size), kUnset);
       for (int64_t k = 0; k < m; ++k) {
         int64_t i = idx[k];
         int64_t fk = static_cast<int64_t>(r->resname_code[i]) * r->n_name +
@@ -1227,14 +1250,16 @@ SelResult* fastpipe_select(FPResult* r, int level, int include_h,
   }
 
   // Residue slots in traversal order (chain-major, then first appearance).
-  std::vector<int32_t> res_order(n_res);
+  auto& res_order = sc.res_order;
+  res_order.resize(n_res);
   for (int64_t rc = 0; rc < n_res; ++rc) res_order[rc] = rc;
   std::stable_sort(res_order.begin(), res_order.end(),
                    [&](int32_t a, int32_t b) {
                      return r->chain_code[res_first[a]] <
                             r->chain_code[res_first[b]];
                    });
-  std::vector<int32_t> slot_of_code(n_res);
+  auto& slot_of_code = sc.slot_of_code;
+  slot_of_code.resize(n_res);
   for (int64_t sl = 0; sl < n_res; ++sl) slot_of_code[res_order[sl]] = sl;
 
   owner->res_slot.resize(m);
