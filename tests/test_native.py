@@ -110,3 +110,31 @@ def test_lean_parse_coords_match_full():
         finally:
             lib.fastparse_free(full)
             lib.fastparse_free(lean)
+
+
+def test_native_short_and_mixed_line_parity(tmp_path):
+    """Short (<54-char) ATOM records take the non-fixed parse branch;
+    mixed files must intern identically across both branches (regression
+    for the round-4 restructuring that split name interning per branch
+    and added raw-window intern caches on the fixed branch)."""
+    pdb = (
+        # fixed-width line (full 80 cols)
+        "ATOM      1  N   ALA A   1      11.104   6.134  -6.504"
+        "  1.00  0.00           N  \n"
+        # short line: truncated after coords' start -> non-fixed branch
+        "ATOM      2  CA  ALA A   1      11.639   6.071\n"
+        # fixed again, same name as atom 2 (codes must match across
+        # branches)
+        "ATOM      3  CA  GLY A   2      12.260   4.711  -4.913"
+        "  1.00  0.00           C  \n"
+        # short line with a DIFFERENT residue name
+        "ATOM      4  CB  VAL B   3       1.0     2.0\n"
+        "END\n"
+    )
+    path = tmp_path / "mixed.pdb"
+    path.write_text(pdb)
+    native = read_structure(str(path), native=True)
+    python = read_structure(str(path), native=False)
+    assert_tables_equal(native.atoms, python.atoms)
+    assert list(native.atoms.name) == ["N", "CA", "CA", "CB"]
+    assert list(native.atoms.resname) == ["ALA", "ALA", "GLY", "VAL"]
