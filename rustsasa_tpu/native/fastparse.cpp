@@ -1568,8 +1568,32 @@ static void center_morton_sort(const float* coords, int n,
   }
   order.resize((size_t)n);
   for (int i = 0; i < n; i++) order[i] = i;
-  std::stable_sort(order.begin(), order.end(),
-                   [&](int32_t a, int32_t b) { return code[a] < code[b]; });
+  // Stable LSD radix sort on the 30-bit codes (three 10-bit counting
+  // passes): same ordering as std::stable_sort ascending (stability
+  // matches the numpy packer's kind="stable" argsort) at ~1/10th the
+  // cost - the comparison sort was ~60% of the whole q16 pack.
+  {
+    std::vector<int32_t> tmp((size_t)n);
+    int32_t* src = order.data();
+    int32_t* dst = tmp.data();
+    uint32_t cnt[1024];
+    for (int pass = 0; pass < 3; ++pass) {
+      int shift = pass * 10;
+      memset(cnt, 0, sizeof cnt);
+      for (int i = 0; i < n; ++i) cnt[(code[src[i]] >> shift) & 1023]++;
+      uint32_t sum = 0;
+      for (int b = 0; b < 1024; ++b) {
+        uint32_t t = cnt[b];
+        cnt[b] = sum;
+        sum += t;
+      }
+      for (int i = 0; i < n; ++i)
+        dst[cnt[(code[src[i]] >> shift) & 1023]++] = src[i];
+      std::swap(src, dst);
+    }
+    if (src != order.data())
+      memcpy(order.data(), src, (size_t)n * sizeof(int32_t));
+  }
   for (int k = 0; k < n; k++) inv[order[k]] = k;
 }
 
