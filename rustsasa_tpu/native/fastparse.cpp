@@ -984,6 +984,31 @@ struct SelScratch {
   std::vector<uint8_t> conf_kept;
   std::vector<int32_t> res_order, slot_of_code;
   std::vector<float> flat;
+
+  // Bound the high-water retention: one multi-million-atom outlier file
+  // would otherwise pin its ~30 B/atom of scratch in every worker
+  // thread for the rest of the run.  Typical proteome files are well
+  // under the threshold, so the fast path never reallocates.
+  static constexpr size_t kShrinkAtoms = 1 << 18;  // 256k atoms
+  void maybe_shrink(size_t n) {
+    if (n > kShrinkAtoms || res_code.capacity() <= kShrinkAtoms) return;
+    auto drop = [](auto& v) {
+      v.clear();
+      v.shrink_to_fit();
+    };
+    drop(res_code);
+    drop(conf_code);
+    drop(idx);
+    drop(res_first);
+    drop(conf_first);
+    drop(conf_res);
+    drop(conf_alt);
+    drop(first_nb);
+    drop(conf_kept);
+    drop(res_order);
+    drop(slot_of_code);
+    drop(flat);
+  }
 };
 static thread_local SelScratch g_sel_scratch;
 
@@ -1030,6 +1055,7 @@ SelResult* fastpipe_select(FPResult* r, int level, int include_h,
   // (was two whole-atom loops).  Consecutive-key caches cover the
   // common runs; the hash maps only see boundaries.
   SelScratch& sc = g_sel_scratch;
+  sc.maybe_shrink(static_cast<size_t>(n));
   std::unordered_map<uint64_t, int32_t> res_map;
   res_map.reserve(static_cast<size_t>(n / 6));
   auto& res_code = sc.res_code;

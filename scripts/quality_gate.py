@@ -35,6 +35,8 @@ def run_gate() -> dict:
     r = evaluate_depth("residue")
     if not math.isfinite(r["rmse"]):
         r["rmse"] = 1e30  # JSON-safe sentinel; pass stays False below
+    if not math.isfinite(r["pearson_r"]):
+        r["pearson_r"] = 0.0  # degenerate correlation; keep JSON strict
     dev = jax.devices()[0]
     out = {
         "gate": "freesasa_88pdb_residue_chain_rmse",

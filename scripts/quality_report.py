@@ -27,6 +27,8 @@ DEFAULT_REF_DIR = os.path.join(REPO, "tests", "data", "freesasa_reference")
 
 def pearson(xs, ys):
     n = len(xs)
+    if n == 0:
+        return float("nan")
     mx = sum(xs) / n
     my = sum(ys) / n
     cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
