@@ -200,6 +200,12 @@ def main() -> int:
                 "value": round(elapsed, 3),
                 "unit": "s",
                 "vs_baseline": round(BASELINE_SECONDS / elapsed, 3),
+                # The tunnel's bandwidth swings >10x between minutes
+                # (PROFILE.md); the spread separates code speed from
+                # link congestion for anyone reading the record.
+                "runs": [round(r, 3) for r in runs],
+                "best": round(runs[0], 3),
+                "best_vs_baseline": round(BASELINE_SECONDS / runs[0], 3),
             }
         )
     )
