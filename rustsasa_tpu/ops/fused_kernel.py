@@ -59,8 +59,11 @@ PAIRS (16 margin updates per loop iteration) cut per-iteration overhead
 - 584 vs 632ms, bit-identical; (2) per-i-atom point-to-box fine culling
 in the banded builder cut streamed j/atom 1185 -> 911 measured
 (bit-identical counts; +60ms build buys ~120ms kernel per 2M chunk).
-The shipped kernel streams ~870 j/atom against a 733 group-granularity
-floor (3.1-3.4 Matoms/s kernel-only depending on tunnel window).
+Triple-group streaming (24 updates/iteration) measured only +1.1% over
+pairs (578.5 vs 585.0ms - amortization is exhausted at 16); not worth
+the shape churn.  The shipped kernel streams ~870 j/atom against a 733
+group-granularity floor (3.1-3.4 Matoms/s kernel-only depending on
+tunnel window).
 
 Everything after the per-structure packing runs in one pallas_call per
 chunk; HBM traffic is one 64KB read per active tile pair plus the output.

@@ -172,6 +172,25 @@ def make_kernel(variant):
                 o1, o2 = jax.lax.fori_loop(0, pos, kgroup, (occ, occ))
                 return jnp.maximum(o1, o2)
 
+            if variant == "g24":
+                def kgroup(k, occ):
+                    g1 = glist_ref[k * 3]
+                    g2 = glist_ref[jnp.minimum(k * 3 + 1, pos - 1)]
+                    g3 = glist_ref[jnp.minimum(k * 3 + 2, pos - 1)]
+                    vx1, vy1, vz1, l1 = group_rows(base, g1, 8)
+                    vx2, vy2, vz2, l2 = group_rows(base, g2, 8)
+                    vx3, vy3, vz3, l3 = group_rows(base, g3, 8)
+                    vxg = jnp.concatenate([vx1, vx2, vx3], axis=0)
+                    vyg = jnp.concatenate([vy1, vy2, vy3], axis=0)
+                    vzg = jnp.concatenate([vz1, vz2, vz3], axis=0)
+                    limg = jnp.concatenate([l1, l2, l3], axis=0)
+                    for r in range(24):
+                        occ = upd(occ, vxg, vyg, vzg, limg, r)
+                    return occ
+
+                ntr = jax.lax.div(pos + 2, 3)
+                return jax.lax.fori_loop(0, ntr, kgroup, occ)
+
             if variant == "g16":
                 # stream glist entries in PAIRS: one 16-row load + one
                 # prep chain covers 2 admitted groups; odd tail handled
@@ -271,7 +290,7 @@ def main():
     sync()
 
     ref_counts = None
-    for variant in ("prod", "split2", "g16", "nosmem"):
+    for variant in ("g16", "g24"):
         t0 = time.time()
         out = run_variant_counts(d_planes, d_jlist, d_sphere, variant=variant)
         counts = np.asarray(out)
