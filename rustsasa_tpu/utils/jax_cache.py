@@ -59,7 +59,10 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
         # line - changed the key and forced a full remote recompile
         # (measured: 3-7 min per miss on this deployment).  Verified:
         # with this off, the canonicalized module is byte-identical
-        # across call sites.
+        # across call sites.  NOTE: the kernel file's OWN line numbers
+        # remain in the payload - edits to ops/fused_kernel.py (even
+        # comments) still invalidate keys; re-run `make precompile`
+        # after touching kernel files.
         jax.config.update("jax_include_full_tracebacks_in_locations", False)
         _enabled = True
     except Exception:  # noqa: BLE001 - cache is best-effort
