@@ -18,6 +18,11 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "fastparse.cpp")
 _LIB = os.path.join(_DIR, "libfastparse.so")
+# Read-only installs (e.g. system site-packages) build into the user
+# cache instead; same fallback dir the compile cache uses.
+_LIB_FALLBACK = os.path.join(
+    os.path.expanduser("~"), ".cache", "rustsasa_tpu", "libfastparse.so"
+)
 
 _lock = threading.Lock()
 _lib = None
@@ -57,16 +62,37 @@ class _FPResult(ctypes.Structure):
     ]
 
 
-def _build() -> bool:
+def _build(out: str) -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB, "-lz",
+        _SRC, "-o", out, "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         return True
     except (subprocess.SubprocessError, FileNotFoundError):
         return False
+
+
+def _locate_or_build() -> str | None:
+    """Return a path to an up-to-date libfastparse.so, building if needed.
+
+    Prefers the package dir (in-place/editable installs); falls back to
+    ~/.cache/rustsasa_tpu for read-only site-packages installs.
+    """
+    src_mtime = os.path.getmtime(_SRC)
+    for lib in (_LIB, _LIB_FALLBACK):
+        if os.path.exists(lib) and os.path.getmtime(lib) >= src_mtime:
+            return lib
+    if _build(_LIB):
+        return _LIB
+    try:
+        os.makedirs(os.path.dirname(_LIB_FALLBACK), exist_ok=True)
+    except OSError:
+        return None
+    if _build(_LIB_FALLBACK):
+        return _LIB_FALLBACK
+    return None
 
 
 def load_library():
@@ -77,12 +103,12 @@ def load_library():
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _build():
-                _lib_failed = True
-                return None
+        lib_path = _locate_or_build()
+        if lib_path is None:
+            _lib_failed = True
+            return None
         try:
-            lib = ctypes.CDLL(_LIB)
+            lib = ctypes.CDLL(lib_path)
         except OSError:
             _lib_failed = True
             return None
