@@ -30,6 +30,7 @@ from .levels import (
     serialize_chain_id,
 )
 from .ops.engine import BatchedSasaEngine, SasaParams, calculate_sasa_internal
+from .utils.jax_cache import enable_persistent_cache
 from .radii import (
     RadiusMissingError,
     VanDerWaalsMissingError,
@@ -70,5 +71,6 @@ __all__ = [
     "get_vdw_radius",
     "load_radii_from_file",
     "parse_radii_config",
+    "enable_persistent_cache",
     "__version__",
 ]

@@ -306,19 +306,30 @@ def process_directory(
             bar.tick()
         emit_futures[:] = remaining
 
-    with ThreadPoolExecutor(max_workers=workers) as pool, \
+    import queue as _queuemod
+    from collections import deque
+
+    from .ops.engine import CHUNK_SLOT_BUDGET
+
+    done_q: _queuemod.Queue = _queuemod.Queue()
+    inflight: deque = deque()  # (good_batch, enqueue-future)
+    batch_good: list = []
+
+    def _close_handle(h) -> None:
+        if isinstance(h, NativeSelection):
+            try:
+                h.close()
+            except Exception:  # noqa: BLE001 - abort-path best effort
+                pass
+
+    try:
+      with ThreadPoolExecutor(max_workers=workers) as pool, \
             ThreadPoolExecutor(max_workers=workers) as load_pool:
         # ALL loads submitted upfront ON THEIR OWN POOL: parsing fills
         # every idle host cycle from t=0 (waves 2+ parse while the device
         # crunches waves 0-1) and never queues ahead of the pack/emit
         # tasks submitted to `pool` below.  Peak memory is one SoA
         # selection per file (~16B/atom), fine at proteome scale.
-        import queue as _queuemod
-        from collections import deque
-
-        from .ops.engine import CHUNK_SLOT_BUDGET
-
-        done_q: _queuemod.Queue = _queuemod.Queue()
         load_futures = []
         for p in files:
             fut = load_pool.submit(load, p)
@@ -336,10 +347,9 @@ def process_directory(
         # rayon-over-files loop (main.rs:375): wall time is
         # max(device, host) rather than their sum.
 
-        inflight: deque = deque()  # (good_batch, enqueue-future)
-        batch_good: list = []
         batch_slots = 0
         consumed_slots = 0
+        received_ok = 0  # loads that produced work (errors consume no slots)
         # Ramped thresholds: the first two dispatches fill the 0.5M- and
         # 1M-slot chunk buckets exactly, so the device starts ~4x sooner
         # than waiting for a full 2M chunk and no padding is wasted.
@@ -350,10 +360,14 @@ def process_directory(
             # Down-ramp near the end of the corpus: once the estimated
             # remaining work is under ~2.5 full chunks, dispatch at the
             # 1M-slot bucket so the tail's device time overlaps the last
-            # parses instead of serializing after them.
-            if ramp or received == 0:
+            # parses instead of serializing after them.  The per-file
+            # slot average divides by successful loads only — errored
+            # files contribute no slots, and counting them would make
+            # the estimate undershoot on error-heavy corpora, triggering
+            # the down-ramp (smaller, less efficient chunks) early.
+            if ramp or received_ok == 0:
                 return threshold
-            est_rem = (len(files) - received) * (consumed_slots / received)
+            est_rem = (len(files) - received) * (consumed_slots / received_ok)
             if est_rem < 0.8 * CHUNK_SLOT_BUDGET:
                 return min(524288, threshold)
             if est_rem < 2.5 * CHUNK_SLOT_BUDGET:
@@ -418,6 +432,7 @@ def process_directory(
                     else h[1].coords.shape[0]
                 )
                 slots = max(-(-max(n, 1) // 128) * 128, 128)
+                received_ok += 1
                 consumed_slots += slots
                 if batch_good and batch_slots + slots > (
                     effective_threshold(received)
@@ -445,6 +460,30 @@ def process_directory(
                 except ValueError:
                     break
             raise
+    except BaseException:
+        # Reached only on abort, after the pools have shut down (the
+        # with-block exited): every load has finished or been cancelled
+        # and all queued emits ran.  Close native handles stranded in
+        # the pipeline stages (parsed loads never consumed, batched but
+        # undispatched files, dispatched chunks never collected) so an
+        # aborted run inside a long-lived embedding process doesn't leak
+        # their native allocations.
+        while True:
+            try:
+                f = done_q.get_nowait()
+            except _queuemod.Empty:
+                break
+            try:
+                _, h, _ = f.result()
+            except BaseException:  # noqa: BLE001 - cancelled/failed load
+                continue
+            _close_handle(h)
+        for _, h in batch_good:
+            _close_handle(h)
+        for prev_good, _ in inflight:
+            for _, h in prev_good:
+                _close_handle(h)
+        raise
 
     report.elapsed_s = time.time() - t0
     return report

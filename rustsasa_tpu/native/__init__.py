@@ -230,7 +230,8 @@ def _setup_pipe(lib) -> None:
     lib.fastpipe_emit.restype = ctypes.c_int
     lib.fastpipe_emit_counts.argtypes = [
         ctypes.POINTER(_FPResult), ctypes.POINTER(_SelResult),
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
         ctypes.c_float, ctypes.c_float, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
     ]
@@ -560,8 +561,10 @@ class NativeSelection:
         total = ctypes.c_double(0.0)
         rc = self._lib.fastpipe_emit_counts(
             self._fp, self._sel,
-            counts.ctypes.data_as(ctypes.c_void_p), wide,
-            inv.ctypes.data_as(ctypes.c_void_p), inv64,
+            counts.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(counts.shape[0]), wide,
+            inv.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(inv.shape[0]), inv64,
             ctypes.c_float(area_const), ctypes.c_float(probe),
             _LEVEL_CODE[level], _FMT_CODE[fmt], out_path.encode(),
             ctypes.byref(total), err)

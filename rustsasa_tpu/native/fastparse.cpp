@@ -1499,11 +1499,21 @@ int fastpipe_emit(FPResult* r, SelResult* s, const float* atom_sasa,
 // Replaces ~170us/file of numpy gather/astype/multiply on the Python
 // worker threads with ~2us of native code.
 int fastpipe_emit_counts(FPResult* r, SelResult* s, const void* counts,
-                         int wide, const void* inv, int inv64,
-                         float area_const, float probe, int level, int fmt,
+                         int64_t n_slots, int wide, const void* inv,
+                         int64_t n_inv, int inv64, float area_const,
+                         float probe, int level, int fmt,
                          const char* out_path, double* out_total,
                          char* errbuf) {
   const int64_t m = s->m;
+  // A caller mismatch (wrong CountsView/NativeSelection pairing, or a
+  // truncated readback) must surface as an error string, not a silent
+  // out-of-bounds read in native code.
+  if (n_inv != m) {
+    snprintf(errbuf, 256,
+             "emit_counts: inv length %lld != selection size %lld",
+             static_cast<long long>(n_inv), static_cast<long long>(m));
+    return 1;
+  }
   std::vector<float> sasa(static_cast<size_t>(m));
   const uint8_t* c8 = static_cast<const uint8_t*>(counts);
   const uint16_t* c16 = static_cast<const uint16_t*>(counts);
@@ -1512,6 +1522,13 @@ int fastpipe_emit_counts(FPResult* r, SelResult* s, const void* counts,
   double total = 0.0;
   for (int64_t k = 0; k < m; ++k) {
     int64_t slot = inv64 ? p64[k] : p32[k];
+    if (slot < 0 || slot >= n_slots) {
+      snprintf(errbuf, 256,
+               "emit_counts: slot %lld out of range [0, %lld)",
+               static_cast<long long>(slot),
+               static_cast<long long>(n_slots));
+      return 1;
+    }
     float cnt = wide ? static_cast<float>(c16[slot])
                      : static_cast<float>(c8[slot]);
     float reff = s->radii[k] + probe;

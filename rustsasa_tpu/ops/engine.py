@@ -372,7 +372,7 @@ def calculate_sasa_internal(
     """
     from ..utils.jax_cache import enable_persistent_cache
 
-    enable_persistent_cache()
+    enable_persistent_cache(library_call=True)
     coords = np.ascontiguousarray(coords, dtype=np.float32)
     radii = np.ascontiguousarray(radii, dtype=np.float32)
     n = coords.shape[0]
@@ -794,7 +794,7 @@ class BatchedSasaEngine:
         jnp.float32 for bit-clean per-atom output."""
         from ..utils.jax_cache import enable_persistent_cache
 
-        enable_persistent_cache()
+        enable_persistent_cache(library_call=True)
         self.params = params or SasaParams()
         self.backend = backend
         self.readback_dtype = readback_dtype

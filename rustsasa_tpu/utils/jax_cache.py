@@ -17,10 +17,24 @@ _DEFAULT_DIR = os.path.join(
 _enabled = False
 
 
-def enable_persistent_cache(cache_dir: str | None = None) -> None:
-    """Idempotently enable the on-disk compilation cache."""
+def enable_persistent_cache(
+    cache_dir: str | None = None, *, library_call: bool = False
+) -> None:
+    """Idempotently enable the on-disk compilation cache.
+
+    library_call=True marks a call made as a side effect of a library
+    API (engine entry points).  Those must not mutate process-global JAX
+    config under an embedding application that didn't ask for it — the
+    cache dir redirect and jax_include_full_tracebacks_in_locations
+    would leak into the host app's own JAX diagnostics.  Library-side
+    calls therefore only act when the user opted in by setting the
+    RUSTSASA_TPU_CACHE env var (or by calling this function directly /
+    running one of our entry points first — it is idempotent).
+    """
     global _enabled
     if _enabled:
+        return
+    if library_call and not os.environ.get("RUSTSASA_TPU_CACHE"):
         return
     import jax
 

@@ -325,3 +325,33 @@ def test_fused_counts_native_sink_bytes_match_python_unpack(
     assert abs(r1.total_area - r2.total_area) <= 1e-6 * max(
         1.0, abs(r1.total_area)
     )
+
+
+def test_emit_counts_rejects_mismatched_views(tmp_path):
+    """A wrong CountsView/NativeSelection pairing (or truncated readback)
+    must surface as a typed error from the native sink, never a silent
+    out-of-bounds read (ADVICE r4: fastpipe_emit_counts bounds)."""
+    ns = native_process_file(
+        str(PDB_DIR / "example.cif"), level="residue",
+        include_hydrogens=False, include_hetatms=False,
+        read_radii_from_occupancy=False, allow_vdw_fallback=False,
+    )
+    try:
+        m = ns.coords.shape[0]
+        out = str(tmp_path / "out.json")
+        # inv shorter than the selection: length mismatch.
+        with pytest.raises(OSError, match="inv length"):
+            ns.emit_counts(
+                np.zeros(m, dtype=np.uint8),
+                np.zeros(m - 1, dtype=np.int32),
+                1.0, 1.4, "residue", "json", out,
+            )
+        # slot index beyond the counts slice: out of range.
+        with pytest.raises(OSError, match="out of range"):
+            ns.emit_counts(
+                np.zeros(4, dtype=np.uint8),
+                np.full(m, 1000, dtype=np.int32),
+                1.0, 1.4, "residue", "json", out,
+            )
+    finally:
+        ns.close()
