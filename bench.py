@@ -188,8 +188,10 @@ def main() -> int:
         with open(gate_path, "w") as f:
             json.dump(gate, f, indent=1)
             f.write("\n")
-        log(f"quality gate: rmse={gate['rmse']} n={gate['n']} "
-            f"pass={gate['pass']} -> {gate_path}")
+        for row in gate.get("rows", []):
+            log(f"quality gate [{row['depth']:17s}]: rmse={row['rmse']} "
+                f"n={row['n']} pass={row['pass']}")
+        log(f"quality gate overall: pass={gate['pass']} -> {gate_path}")
     except Exception as e:  # noqa: BLE001 - the gate must not kill the bench
         log(f"quality gate FAILED to run: {e}")
 

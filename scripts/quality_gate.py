@@ -25,34 +25,61 @@ enable_persistent_cache()
 RMSE_LIMIT = 43.99 + 20.0  # reference: tests/quality.rs:17-18
 
 
-def run_gate() -> dict:
-    import jax
-
-    from quality_report import evaluate_depth
-
+def _row(r: dict) -> dict:
     import math
 
-    r = evaluate_depth("residue")
     if not math.isfinite(r["rmse"]):
         r["rmse"] = 1e30  # JSON-safe sentinel; pass stays False below
     if not math.isfinite(r["pearson_r"]):
         r["pearson_r"] = 0.0  # degenerate correlation; keep JSON strict
-    dev = jax.devices()[0]
-    out = {
-        "gate": "freesasa_88pdb_residue_chain_rmse",
-        "device": str(dev),
-        "platform": dev.platform,
+    row = {
+        "depth": r["depth"],
         "n": r["n"],
         "n_files": r["n_files"],
         "n_ok": r["n_ok"],
         "n_errors": len(r["errors"]),
         "rmse": round(r["rmse"], 4),
         "pearson_r": round(r["pearson_r"], 6),
-        "rmse_limit": RMSE_LIMIT,
         "pass": bool(r["rmse"] <= RMSE_LIMIT and r["n_ok"] == r["n_files"]),
     }
     if r["errors"]:
-        out["errors"] = r["errors"][:10]
+        row["errors"] = r["errors"][:10]
+    return row
+
+
+def run_gate() -> dict:
+    """All four output depths + the occupancy-radii path through the
+    production pipeline on this host's backend (reference runs its gate at
+    all depths too, quality.rs:224-257, plus the -R test :260-442).  The
+    depths differ in gid semantics (protein-level drops alt-loc), which is
+    exactly where a TPU-path-only bug would hide."""
+    import jax
+
+    from quality_report import evaluate_depth, evaluate_occupancy
+
+    rows = [
+        _row(evaluate_depth(d))
+        for d in ("residue", "atom", "chain", "protein")
+    ]
+    rows.append(_row(evaluate_occupancy()))
+    residue = rows[0]
+    dev = jax.devices()[0]
+    out = {
+        "gate": "freesasa_88pdb_rmse_all_depths",
+        "device": str(dev),
+        "platform": dev.platform,
+        "rmse_limit": RMSE_LIMIT,
+        # Top-level n/rmse/pearson_r mirror the residue row (the
+        # historical single-depth schema); `pass` requires EVERY row.
+        "n": residue["n"],
+        "n_files": residue["n_files"],
+        "n_ok": residue["n_ok"],
+        "n_errors": residue["n_errors"],
+        "rmse": residue["rmse"],
+        "pearson_r": residue["pearson_r"],
+        "rows": rows,
+        "pass": all(row["pass"] for row in rows),
+    }
     return out
 
 

@@ -12,47 +12,22 @@ Marked slow like the other quality gates (~600k atoms on the CPU backend).
 
 import gzip
 import os
+import sys
 
 import pytest
 
 from rustsasa_tpu import SASAOptions
 from rustsasa_tpu.batch import process_directory
 from rustsasa_tpu.levels import Level
-from rustsasa_tpu.radii import get_protor_radius, get_vdw_radius
 
 from test_quality import MAX_RMSE, load_freesasa_chains, load_ours
 
-
-def _guess_element(atom_name: str) -> str:
-    """Element from a PDB atom-name field (columns 13-16), reference
-    fallback behavior: strip digits, take the leading letter(s)."""
-    name = atom_name.strip()
-    stripped = name.lstrip("0123456789")
-    if len(atom_name) >= 1 and atom_name[0] != " " and len(stripped) >= 2:
-        two = stripped[:2].upper()
-        if two in ("FE", "ZN", "MG", "MN", "CU", "NA", "CL", "BR", "CA", "NI", "SE", "CO", "CD", "HG"):
-            return two
-    return stripped[:1].upper() if stripped else "C"
-
-
-def rewrite_occupancy_with_radii(pdb_text: str) -> str:
-    """Stamp each ATOM/HETATM record's occupancy column (55-60) with its
-    ProtOr radius (VdW fallback), like quality.rs:289-324 does via pdbtbx."""
-    out_lines = []
-    for line in pdb_text.splitlines():
-        if line.startswith(("ATOM  ", "HETATM")) and len(line) >= 60:
-            atom_name = line[12:16]
-            res_name = line[17:20].strip()
-            element = line[76:78].strip() if len(line) >= 78 else ""
-            radius = get_protor_radius(res_name, atom_name.strip())
-            if radius is None:
-                radius = get_vdw_radius(element or _guess_element(atom_name))
-            if radius is None:
-                radius = 1.5  # same spirit as the reference's hard error;
-                # keep the file processable rather than abort the corpus
-            line = f"{line[:54]}{radius:6.2f}{line[60:]}"
-        out_lines.append(line)
-    return "\n".join(out_lines) + "\n"
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "scripts"),
+)
+from quality_report import rewrite_occupancy_with_radii  # noqa: E402
 
 
 @pytest.mark.slow
