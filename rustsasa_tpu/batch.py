@@ -79,19 +79,22 @@ class _Progress:
 def serialize_result(structure, result, fmt: str, selection=None) -> str:
     from .io.cif import write_cif
     from .io.pdb import write_pdb
+    from .io.writeback import writeback_cif, writeback_pdb
 
     if fmt == "json":
         return sasa_result_to_json(result)
     if fmt == "xml":
         return sasa_result_to_xml(result)
     if fmt == "pdb":
-        return write_pdb(
-            structure, sasa_result_to_bfactors(structure, result, selection)
-        )
+        bf = sasa_result_to_bfactors(structure, result, selection)
+        # Faithful splice into the source text (differs from the input
+        # only in the B-factor column); from-scratch writer as fallback.
+        spliced = writeback_pdb(structure, bf)
+        return spliced if spliced is not None else write_pdb(structure, bf)
     if fmt == "cif":
-        return write_cif(
-            structure, sasa_result_to_bfactors(structure, result, selection)
-        )
+        bf = sasa_result_to_bfactors(structure, result, selection)
+        spliced = writeback_cif(structure, bf)
+        return spliced if spliced is not None else write_cif(structure, bf)
     raise ValueError(f"unknown output format: {fmt}")
 
 

@@ -40,14 +40,22 @@ def _field_int(mat: np.ndarray, lo: int, hi: int) -> np.ndarray:
     try:
         return raw.astype(np.int64)
     except ValueError:
+        from .hybrid36 import decode as h36_decode
+
         out = np.zeros(len(raw), dtype=np.int64)
         for i, cell in enumerate(raw):
             try:
                 out[i] = int(cell)
             except ValueError:
-                # Overflowed serials ("*****") or hybrid-36: fall back to
-                # the previous value + 1 so ordering survives.
-                out[i] = out[i - 1] + 1 if i else 0
+                try:
+                    # Hybrid-36 extended numbering (A0000.. for >99999
+                    # serials, as written by cctbx/Phenix and by our own
+                    # write_pdb).
+                    out[i] = h36_decode(cell.decode(), hi - lo)
+                except ValueError:
+                    # Overflowed serials ("*****"): fall back to the
+                    # previous value + 1 so ordering survives.
+                    out[i] = out[i - 1] + 1 if i else 0
         return out
 
 
@@ -92,7 +100,11 @@ def parse_pdb(content: str | bytes, source_path: str = "") -> Structure:
     name = np.char.strip(raw_name)
     alt_loc = _field_str(mat, 16, 17)
     resname = _field_str(mat, 17, 20)
-    chain_id = _field_str(mat, 21, 22)
+    # Columns 21-22: the spec's chainID is column 22 only, but column 21
+    # is always blank in conforming files, so reading both supports the
+    # two-character chain ids our writer emits for multi-char chains
+    # (mmCIF-origin structures) without changing standard-file behavior.
+    chain_id = _field_str(mat, 20, 22)
     res_serial = _field_int(mat, 22, 26)
     icode = _field_str(mat, 26, 27)
     x = _field_float(mat, 30, 38)
@@ -132,16 +144,23 @@ def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:
     bfactors: optional [N] replacement B-factor column (SASA write-back,
     reference: io.rs:20-64 + pdbtbx::save).
     """
+    from .hybrid36 import encode as h36
+
     t = structure.atoms
     bf = t.bfactor if bfactors is None else np.asarray(bfactors)
     out: list[str] = []
-    serial_counter = 0
     for chain in structure.chains:
+        # Multi-character chain ids (mmCIF-origin structures) occupy the
+        # always-blank column 21 plus the spec's column 22, the common
+        # two-char extension (parse_pdb reads both columns back).  Ids
+        # longer than two characters cannot round-trip through PDB's
+        # fixed columns; truncation is the documented lossy case — use
+        # cif output for such structures.
+        cid = (chain.id or " ")[:2].rjust(2)
         last_idx = None
         for residue in chain.residues:
             for conformer in residue.conformers:
                 for i in conformer.atom_indices:
-                    serial_counter += 1
                     name = t.name[i]
                     # Standard alignment: element right-justified in 13-14.
                     if len(name) < 4 and len(t.element[i]) < 2:
@@ -150,9 +169,9 @@ def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:
                         name_field = f"{name:<4}"
                     record = "HETATM" if t.hetero[i] else "ATOM  "
                     out.append(
-                        f"{record}{min(t.serial[i], 99999):>5} {name_field}"
-                        f"{t.alt_loc[i] or ' '}{t.resname[i]:>3} "
-                        f"{(chain.id or ' ')[:1]}{residue.serial_number:>4}"
+                        f"{record}{h36(int(t.serial[i]), 5)} {name_field}"
+                        f"{t.alt_loc[i] or ' '}{t.resname[i]:>3}"
+                        f"{cid}{h36(int(residue.serial_number), 4)}"
                         f"{residue.insertion_code or ' '}   "
                         f"{t.coords[i, 0]:8.3f}{t.coords[i, 1]:8.3f}"
                         f"{t.coords[i, 2]:8.3f}{t.occupancy[i]:6.2f}"
@@ -161,9 +180,9 @@ def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:
                     last_idx = i
         if last_idx is not None:
             out.append(
-                f"TER   {min(t.serial[last_idx] + 1, 99999):>5}      "
-                f"{t.resname[last_idx]:>3} {(chain.id or ' ')[:1]}"
-                f"{chain.residues[-1].serial_number:>4}"
+                f"TER   {h36(int(t.serial[last_idx]) + 1, 5)}      "
+                f"{t.resname[last_idx]:>3}{cid}"
+                f"{h36(int(chain.residues[-1].serial_number), 4)}"
                 f"{chain.residues[-1].insertion_code or ' '}"
             )
     out.append("END")

@@ -235,6 +235,35 @@ inline int64_t parse_int(std::string_view s, int64_t dflt) {
   // 19+ digits can wrap int64; let strtoll clamp with ERANGE semantics
   // (mmCIF integer fields are free-width, unlike PDB's 4-5 columns).
   if (p == end && any && digits <= 18) return neg ? -v : v;
+  // Hybrid-36 extended numbering (A0000.. / a0000.., cctbx convention;
+  // mirrors io/hybrid36.py): alnum token starting with a letter.
+  {
+    const char c0 = s.front();
+    const bool upper0 = c0 >= 'A' && c0 <= 'Z';
+    const bool lower0 = c0 >= 'a' && c0 <= 'z';
+    if ((upper0 || lower0) && s.size() <= 6) {
+      int64_t v36 = 0;
+      bool ok = true;
+      for (char c : s) {
+        int dv;
+        if (c >= '0' && c <= '9') dv = c - '0';
+        else if (c >= 'A' && c <= 'Z') dv = c - 'A' + 10;
+        else if (c >= 'a' && c <= 'z') dv = c - 'a' + 10;
+        else { ok = false; break; }
+        v36 = v36 * 36 + dv;
+      }
+      if (ok) {
+        const int w = static_cast<int>(s.size());
+        int64_t p36 = 1;
+        for (int k = 1; k < w; ++k) p36 *= 36;
+        int64_t p10 = 1;
+        for (int k = 0; k < w; ++k) p10 *= 10;
+        int64_t out = v36 - 10 * p36 + p10;
+        if (lower0) out += 26 * p36;
+        return out;
+      }
+    }
+  }
   char buf[32];
   size_t n = s.size() < 31 ? s.size() : 31;
   memcpy(buf, s.data(), n);
@@ -382,14 +411,21 @@ void parse_pdb_line(Builder& b, std::string_view line, bool hetero,
     b.alt_code.push_back(b.alt_tab.intern_char(d[16]));
     b.resname_code.push_back(
         intern_raw4(b.resname_tab, b.resname_raw, d + 17, 3));
-    b.chain_code.push_back(b.chain_tab.intern_char(d[21]));
+    // Column 21 is blank in conforming files; when set it is the first
+    // character of a two-char chain id (our writer's multi-char-chain
+    // convention, matching parse_pdb's [20:22) read).
+    if (d[20] == ' ') {
+      b.chain_code.push_back(b.chain_tab.intern_char(d[21]));
+    } else {
+      b.chain_code.push_back(b.chain_tab.intern(trim(field(line, 20, 22))));
+    }
     b.res_serial.push_back(parse_fixed_int(d + 22, 4, 0));
     b.icode_code.push_back(b.icode_tab.intern_char(d[26]));
   } else {
     b.name_code.push_back(b.name_tab.intern(trim(raw_name)));
     b.alt_code.push_back(b.alt_tab.intern(trim(field(line, 16, 17))));
     b.resname_code.push_back(b.resname_tab.intern(trim(field(line, 17, 20))));
-    b.chain_code.push_back(b.chain_tab.intern(trim(field(line, 21, 22))));
+    b.chain_code.push_back(b.chain_tab.intern(trim(field(line, 20, 22))));
     b.res_serial.push_back(parse_int(field(line, 22, 26), 0));
     b.icode_code.push_back(b.icode_tab.intern(trim(field(line, 26, 27))));
   }
