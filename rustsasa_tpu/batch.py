@@ -162,15 +162,18 @@ def process_directory(
     )
 
     # The native C++ pipeline (parse + select + aggregate + emit, all
-    # GIL-free) handles the default radii table and json/xml outputs; any
-    # other configuration - and any file the native path declines - routes
-    # through the Python pipeline.  Both produce byte-identical outputs
-    # (tests/test_native_pipe.py).
+    # GIL-free) handles json/xml outputs with any radii table - custom
+    # configs are overlaid onto ProtOr and loaded into the native radius
+    # map up front, so a -r run keeps proteome throughput; any file the
+    # native path declines routes through the Python pipeline.  Both
+    # produce byte-identical outputs (tests/test_native_pipe.py).
     use_native = (
-        output_format in ("json", "xml")
-        and options.radii_config is None
-        and pipe_library() is not None
+        output_format in ("json", "xml") and pipe_library() is not None
     )
+    if use_native:
+        from .native import set_pipe_radii
+
+        set_pipe_radii(options.radii_config)
     level_str = options.level.value
 
     # Backpressure: loads park here until emits release permits, so the

@@ -215,15 +215,17 @@ def _run_single_native(args, opts: SASAOptions, fmt: str) -> bool:
     returns False when this configuration (format/radii/file quirks) needs
     the Python pipeline.
     """
-    from .native import NativeFallback, native_process_file, pipe_library
+    from .native import (
+        NativeFallback,
+        native_process_file,
+        pipe_library,
+        set_pipe_radii,
+    )
     from .ops.engine import BatchedSasaEngine, SasaParams
 
-    if (
-        fmt not in ("json", "xml")
-        or opts.radii_config is not None
-        or pipe_library() is None
-    ):
+    if fmt not in ("json", "xml") or pipe_library() is None:
         return False
+    set_pipe_radii(opts.radii_config)
     try:
         ns = native_process_file(
             args.input,

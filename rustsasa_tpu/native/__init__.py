@@ -237,10 +237,29 @@ def _setup_pipe(lib) -> None:
     ]
     lib.fastpipe_emit_counts.restype = ctypes.c_int
 
+    _push_radii_table(lib, None)
+    global _radii_loaded_key
+    _radii_loaded_key = None
+
+
+# Content key of the radii table currently loaded into the native lib:
+# None = embedded ProtOr.  Guarded by _pipe_lock.
+_radii_loaded_key: object = "unset"
+
+
+def _push_radii_table(lib, radii_config) -> None:
     from ..radii import PROTOR_RADII, VDW_RADII
 
+    # The reference consults the custom config first and falls back to
+    # ProtOr per (residue, atom) pair (utils.rs:40-56); a per-residue
+    # dict overlay reproduces that precedence exactly.
+    table: dict = PROTOR_RADII
+    if radii_config:
+        table = {res: dict(inner) for res, inner in PROTOR_RADII.items()}
+        for res, inner in radii_config.items():
+            table.setdefault(res, {}).update(inner)
     pair_lines = []
-    for res, inner in PROTOR_RADII.items():
+    for res, inner in table.items():
         for atom, rad in inner.items():
             pair_lines.append(f"{res}\t{atom}\t{rad!r}")
     vdw_lines = [f"{el}\t{rad!r}" for el, rad in VDW_RADII.items()]
@@ -248,6 +267,35 @@ def _setup_pipe(lib) -> None:
         ("\n".join(pair_lines) + "\n").encode(),
         ("\n".join(vdw_lines) + "\n").encode(),
     )
+
+
+def set_pipe_radii(radii_config) -> None:
+    """Load `radii_config` (a RadiiConfig dict, or None for the embedded
+    ProtOr table) into the native pipeline's radius map.
+
+    The map is process-global native state: call before starting worker
+    threads (process_directory does), not concurrently with selections.
+    Cheap no-op when the requested table is already loaded.
+    """
+    global _radii_loaded_key
+    lib = pipe_library()
+    if lib is None:
+        return
+    key = (
+        None
+        if not radii_config
+        else hash(
+            tuple(
+                (res, tuple(sorted(inner.items())))
+                for res, inner in sorted(radii_config.items())
+            )
+        )
+    )
+    with _pipe_lock:
+        if key == _radii_loaded_key:
+            return
+        _push_radii_table(lib, radii_config)
+        _radii_loaded_key = key
 
 
 def pipe_library():
