@@ -124,9 +124,22 @@ def main() -> int:
     # minutes - PROFILE.md).
     from rustsasa_tpu.utils import stagestats as _ss
 
-    subset = set(sorted(os.listdir(corpus))[:1700])
-    _ss.reset()
+    from rustsasa_tpu.ops.engine import BatchedSasaEngine, SasaParams
+
+    # Stage 1: concurrent per-shape executable loads (engine.warm_shapes)
+    # - when the tunnel degrades these loads are latency-bound and
+    # serializing them behind the pipeline was the dominant term of the
+    # round-4 187 s warmup; a 3-thread pool overlaps them (measured 81.3s
+    # serial vs 14.0s threaded in one degraded window).
+    warm_engine = BatchedSasaEngine(SasaParams())
     t0 = time.time()
+    shape_elapsed = warm_engine.warm_shapes()
+    log(f"warm_shapes (executable loads) took {shape_elapsed:.1f}s")
+
+    # Stage 2: a short pipeline pass warms the host paths (parser
+    # caches, thread pools, emit) and any tail shape the loads missed.
+    subset = set(sorted(os.listdir(corpus))[:800])
+    _ss.reset()
     process_directory(
         corpus, OUTPUT_DIR + "_warm", options, "json", progress=False,
         file_filter=subset,
@@ -208,6 +221,7 @@ def main() -> int:
                 "runs": [round(r, 3) for r in runs],
                 "best": round(runs[0], 3),
                 "best_vs_baseline": round(BASELINE_SECONDS / runs[0], 3),
+                "warmup_s": round(warm_elapsed, 1),
             }
         )
     )

@@ -355,6 +355,25 @@ def _setup_pack(lib) -> None:
             ctypes.c_int32,                    # n_threads
         ]
         lib.fastpack_q16.restype = ctypes.c_int32
+    if hasattr(lib, "fastpack_q13"):
+        U16P = ctypes.POINTER(ctypes.c_uint16)
+        lib.fastpack_q13.argtypes = [
+            ctypes.c_int32,                    # n_structs
+            ctypes.POINTER(FloatP),            # coords
+            ctypes.POINTER(FloatP),            # radii
+            IntP,                              # ns
+            ctypes.c_float,                    # probe
+            ctypes.c_int64,                    # m_total
+            ctypes.POINTER(ctypes.c_uint32),   # wire_a out
+            U16P,                              # wire_b out
+            FloatP,                            # palette out
+            FloatP,                            # tparams out
+            IntP,                              # tmeta out
+            IntP,                              # inv out
+            ctypes.POINTER(ctypes.c_int64),    # pos out
+            ctypes.c_int32,                    # n_threads
+        ]
+        lib.fastpack_q13.restype = ctypes.c_int32
 
 
 def _pack_pointers(structures):
@@ -440,6 +459,73 @@ def fastpack_q16(structures, probe: float, n_threads: int | None = None):
         offsets.append((int(pos[s]), n, inv[inv_off:inv_off + n]))
         inv_off += n
     return planes4, tparams, tmeta, offsets
+
+
+def fastpack_q13(structures, probe: float, n_threads: int | None = None):
+    """Native packing for the 6 B/slot q13 wire.
+
+    Same contract as ops.fused_kernel._pack_structures_q13_numpy:
+    (wire_a [M] u32, wire_b [M] u16, palette [256] f32, tparams, tmeta,
+    offsets).  Returns None when the library is missing (caller runs the
+    numpy spec) and the string "ineligible" when the chunk can't take
+    the q12 wire (extent/palette limits; caller falls back to q16).
+    """
+    global _pack_ready
+    lib = load_library()
+    if lib is None:
+        return None
+    if not _pack_ready:
+        with _pack_lock:
+            if not _pack_ready:
+                if not hasattr(lib, "fastpack"):
+                    return None
+                _setup_pack(lib)
+                _pack_ready = True
+    if not hasattr(lib, "fastpack_q13"):
+        return None
+
+    n_structs = len(structures)
+    ns = np.array([s[0].shape[0] for s in structures], dtype=np.int32)
+    tiles = (ns + 127) // 128
+    total_tiles = int(tiles.sum())
+    if total_tiles > 65535:
+        raise ValueError(
+            f"chunk too large for u16 tile ids: {total_tiles} tiles"
+        )
+    m = total_tiles * 128
+    wire_a = np.zeros(m, dtype=np.uint32)
+    wire_b = np.zeros(m, dtype=np.uint16)
+    palette = np.zeros(256, dtype=np.float32)
+    tparams = np.empty((total_tiles, 4), dtype=np.float32)
+    tmeta = np.empty((total_tiles, 2), dtype=np.int32)
+    inv = np.empty(int(ns.sum()), dtype=np.int32)
+    pos = np.empty(n_structs, dtype=np.int64)
+
+    IntP = ctypes.POINTER(ctypes.c_int32)
+    coords_p, radii_p, _keep = _pack_pointers(structures)
+    if n_threads is None:
+        n_threads = min(4, os.cpu_count() or 1)
+    rc = lib.fastpack_q13(
+        n_structs, coords_p, radii_p,
+        ns.ctypes.data_as(IntP), ctypes.c_float(probe), m,
+        wire_a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        wire_b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        palette.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tparams.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        tmeta.ctypes.data_as(IntP),
+        inv.ctypes.data_as(IntP),
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int32(n_threads),
+    )
+    if rc != 0:
+        return "ineligible"
+    offsets = []
+    inv_off = 0
+    for s in range(n_structs):
+        n = int(ns[s])
+        offsets.append((int(pos[s]), n, inv[inv_off:inv_off + n]))
+        inv_off += n
+    return wire_a, wire_b, palette, tparams, tmeta, offsets
 
 
 def fastpack(structures, probe: float):

@@ -65,6 +65,36 @@ the shape churn.  The shipped kernel streams ~870 j/atom against a 733
 group-granularity floor (3.1-3.4 Matoms/s kernel-only depending on
 tunnel window).
 
+Round-5 measured results (scripts/r5_pair64.py, r5_qwire.py; same real
+2M-slot chunk, w=32 banded path; chunk split: build ~107ms of which the
+point-to-box fine stage is ~75, kernel ~498ms):
+  * paired-64-atom-half lane streaming (round-4 sizing: per-half j-group
+    admission cuts lane-weighted streamed work 911 -> 783 j/atom) is a
+    DEAD END in its realizable forms.  Per-half admission is real, but
+    converting it to fewer [P,A] blocks requires pairing an
+    only-left-half group with an only-right-half one in a single mixed
+    block (per-lane selects):
+      - per-ENTRY pairing (groups of one j-tile): only 3.3% fewer
+        blocks - within one (i-tile, j-tile) pair the single-half
+        groups are one-sided (707,983 of 827,819 unpairable) - and the
+        extra fori + 16-step 3-way compaction measured NET 2.2% SLOWER
+        (618.6 vs 604.8ms, bit-identical counts);
+      - pairing across j-tiles recovers the full 13.7% fewer blocks
+        (simulated on real masks) but needs either stash copies
+        (8-16 vreg moves per single-half group = 7-13% of baseline
+        vreg-ops, erasing the win) or a multi-slot DMA window with
+        pending-leftover bookkeeping whose extra per-entry loops pay
+        the same fori-carry cost that made per-entry pairing lose;
+      - builder-side pre-compacted nibble group lists (kills the
+        kernel's 16-step scalar compaction entirely) measured a WASH
+        (602.4 vs 604.4ms): the compaction chain was already hidden
+        behind the j-tile DMA wait.  Scalar work before the DMA wait is
+        free; only vector-op and loop-carry overheads are real.
+  * The shipped round-5 lever is the q13 wire (6 B/slot, see
+    MAX_Q13_EXTENT): 823.6 -> 782.5ms per chunk measured end-to-end in
+    a calm window, with 2-3x the saving when the link degrades - it
+    attacks the congestion-sensitive h2d instead of the compute.
+
 Everything after the per-structure packing runs in one pallas_call per
 chunk; HBM traffic is one 64KB read per active tile pair plus the output.
 """
@@ -310,6 +340,30 @@ def fused_sasa(
 # r_eff < 8 A at 1.2e-4 A resolution.  qr == 0 marks padding slots.
 R_QUANT = 8192.0
 
+# q13 wire format (6 B/atom-slot vs q16's 8): the host link is the
+# narrowest resource and in degraded windows drops to ~30-40 MB/s
+# (measured; calm ~86), where the 16.8 MB q16 chunk wire rivals the
+# kernel itself.  Coordinates ride as 13-bit against the structure box
+# (step = extent/8191 <= 0.0122 A at the 100 A cap; structures above
+# the cap keep the noise-free q16 wire) and r_eff as an 8-bit
+# index into a per-chunk palette of EXACT f32 values (ProtOr + probe
+# resolve to ~21 distinct radii), so dequantized radii are bit-identical
+# to the f32 path.  Layout (3x13 + 8 = 47 of 48 bits):
+#   wire_a u32[M]: qx(13) | qy(13) | qz_hi(6)
+#   wire_b u16[M]: qz_lo(7) | palette_index(8) | spare(1)
+# palette[0] = 0 is reserved: index 0 marks padding slots.
+# Measured (scripts/r5_qwire.py, real 2M chunk incl. h2d + readback, at
+# the 12-bit draft of this format): 823.6 -> 782.5 ms/chunk calm-window;
+# the saving scales inversely with link bandwidth, so congested windows
+# gain 2-3x more.  Quality gate (88-PDB, deterministic): residue-chain
+# RMSE 43.64 (q16-only) -> 45.92 (limit 63.99).  Caveat from measurement:
+# 12-bit scored 44.67 - BETTER vs FreeSASA despite 2x the coordinate
+# noise, because quantization biases SASA slightly upward (example.cif:
+# +24 A^2 at 12-bit, +16 at 13-bit over the f32 path's 20096.6) and the
+# larger bias happened to cancel against FreeSASA; 13-bit is strictly
+# closer to our own exact f32 results, which is the fidelity that counts.
+MAX_Q13_EXTENT = 100.0
+
 # Band widths for the DEVICE-side culling path: a chunk whose largest
 # structure has <= w tiles builds its j-lists on the TPU (see
 # build_jlist_banded).  127 = JLIST_CAP, so a full band can never
@@ -369,6 +423,142 @@ def fused_sasa_q16(
     counts = _counts_call(planes, jlist, sphere128, interpret=interpret)
     out_dtype = jnp.uint8 if n_points <= 255 else jnp.uint16
     return counts.reshape(m).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_points", "w", "interpret"))
+def fused_sasa_q13_banded(
+    wire_a: jnp.ndarray,  # [M] u32: qx|qy|qz_hi
+    wire_b: jnp.ndarray,  # [M] u16: qz_lo|palette_idx
+    palette: jnp.ndarray,  # [256] f32 r_eff values, [0] = 0 (padding)
+    tparams: jnp.ndarray,  # [T, 4] f32: ox, oy, oz, cscale per tile
+    tmeta: jnp.ndarray,  # [T, 2] i32: (tile_start, ts_len) per tile
+    sphere128: jnp.ndarray,  # [P, 128] f32
+    *,
+    n_points: int,
+    w: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """6 B/slot wire + device-side culling (see MAX_Q13_EXTENT note)."""
+    m = wire_a.shape[0]
+    wa = wire_a.astype(jnp.uint32)
+    wb = wire_b.astype(jnp.uint32)
+    qx = (wa & 0x1FFF).astype(jnp.float32)
+    qy = ((wa >> 13) & 0x1FFF).astype(jnp.float32)
+    qz = (((wa >> 26) & 0x3F) << 7 | (wb & 0x7F)).astype(jnp.float32)
+    ridx = ((wb >> 7) & 0xFF).astype(jnp.int32)
+    r_eff = jnp.take(palette, ridx)
+    par = jnp.repeat(tparams, ATOM_TILE, axis=0)
+    planes = jnp.zeros((N_PLANES, m), dtype=jnp.float32)
+    planes = planes.at[0].set(qx * par[:, 3] + par[:, 0])
+    planes = planes.at[1].set(qy * par[:, 3] + par[:, 1])
+    planes = planes.at[2].set(qz * par[:, 3] + par[:, 2])
+    planes = planes.at[3].set(r_eff)
+    qvalid = ridx > 0
+    slot_gid = jnp.arange(m, dtype=jnp.float32) + 1.0
+    planes = planes.at[4].set(jnp.where(qvalid, slot_gid, 0.0))
+    jlist = build_jlist_banded(planes, qvalid, tmeta, w=w)
+    counts = _counts_call(planes, jlist, sphere128, interpret=interpret)
+    out_dtype = jnp.uint8 if n_points <= 255 else jnp.uint16
+    return counts.reshape(m).astype(out_dtype)
+
+
+def pack_structures_q13(structures: list, probe: float):
+    """Host packing for the 6 B/slot q12 wire (numpy spec).
+
+    Same contract as pack_structures_q16 but returns
+    (wire_a [M] u32, wire_b [M] u16, palette [256] f32, tparams, tmeta,
+    offsets), or None when any structure is ineligible (extent >
+    MAX_Q13_EXTENT, or more than 255 distinct r_eff values in the chunk
+    — e.g. occupancy-column radii) — the caller falls back to q16.
+    The native C++ packer (fastpack_q13) implements the same layout.
+    """
+    from ..native import fastpack_q13
+
+    out = fastpack_q13(structures, float(probe))
+    if out is not None:
+        return out if out != "ineligible" else None
+    return _pack_structures_q13_numpy(structures, probe)
+
+
+def _pack_structures_q13_numpy(structures: list, probe: float):
+    tiles_per = [-(-s[0].shape[0] // ATOM_TILE) for s in structures]
+    total_tiles = sum(tiles_per)
+    if total_tiles > 65535:
+        raise ValueError(
+            f"chunk too large for u16 tile ids: {total_tiles} tiles"
+        )
+    m = total_tiles * ATOM_TILE
+    wire_a = np.zeros(m, dtype=np.uint32)
+    wire_b = np.zeros(m, dtype=np.uint16)
+    tparams = np.zeros((total_tiles, 4), dtype=np.float32)
+    tparams[:, 3] = 1.0
+    tmeta = np.zeros((total_tiles, 2), dtype=np.int32)
+
+    # Chunk-global radius palette, keyed by the exact qr bucket (1/8192 A
+    # grid — ProtOr radii are spaced >= 0.01 A so buckets never collide).
+    # Index 0 is reserved to mark padding slots.
+    qr_to_idx = np.zeros(65536, dtype=np.uint16)
+    palette = np.zeros(256, dtype=np.float32)
+    n_pal = 1
+
+    offsets = []
+    tile0 = 0
+    pos = 0
+    for coords, radii, _gids in structures:
+        n = coords.shape[0]
+        nt = -(-n // ATOM_TILE)
+        center = np.round(
+            coords.mean(axis=0, dtype=np.float64) * 256.0
+        ) / 256.0
+        c = coords - center.astype(np.float32)
+        order = np.argsort(_morton_codes(c), kind="stable")
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = np.arange(n)
+        c = c[order]
+        r_eff = (radii[order] + np.float32(probe)).astype(np.float32)
+
+        cmin = c.min(axis=0)
+        extent = float((c.max(axis=0) - cmin).max())
+        if extent > MAX_Q13_EXTENT:
+            return None
+        scale = np.float32(max(extent, 1e-6) / 8191.0)
+        q = np.clip(
+            np.rint((c - cmin[None, :]) / scale), 0, 8191
+        ).astype(np.uint32)
+
+        qr = np.rint(r_eff * R_QUANT)
+        if float(qr.max(initial=0.0)) > 65535.0 or float(
+            qr.min(initial=1.0)
+        ) < 1.0:
+            return None
+        qr = qr.astype(np.int64)
+        # Palette registration in INPUT-atom order (first-seen), exactly
+        # like the native packer's prescan, so both emit identical bytes.
+        r_in = (np.asarray(radii, dtype=np.float32) + np.float32(probe))
+        qr_in = np.rint(r_in * R_QUANT).astype(np.int64)
+        uniq, first = np.unique(qr_in, return_index=True)
+        for u in uniq[np.argsort(first)]:
+            if qr_to_idx[u] == 0:
+                if n_pal >= 256:
+                    return None
+                # Exact f32 value for this bucket (first occurrence).
+                palette[n_pal] = r_in[qr_in == u][0]
+                qr_to_idx[u] = n_pal
+                n_pal += 1
+        ridx = qr_to_idx[qr].astype(np.uint32)
+
+        sl = slice(pos, pos + n)
+        wire_a[sl] = q[:, 0] | (q[:, 1] << 13) | ((q[:, 2] >> 7) << 26)
+        wire_b[sl] = ((q[:, 2] & 0x7F) | (ridx << 7)).astype(np.uint16)
+        t0, t1 = tile0, tile0 + nt
+        tparams[t0:t1, 0:3] = cmin
+        tparams[t0:t1, 3] = scale
+        tmeta[t0:t1, 0] = tile0
+        tmeta[t0:t1, 1] = nt
+        offsets.append((pos, n, inv))
+        tile0 += nt
+        pos += nt * ATOM_TILE
+    return wire_a, wire_b, palette, tparams, tmeta, offsets
 
 
 def build_jlist_banded(

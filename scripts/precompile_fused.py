@@ -1,5 +1,10 @@
 """Precompile the fused-kernel shape buckets into the persistent cache
-and report warm throughput per bucket."""
+and report warm throughput per bucket.
+
+Two wire formats compile: the q13 path (discrete ProtOr-like radii ->
+palette fits; the production default) and the q16 fallback (forced here
+with a >163 A extent structure per chunk: real chunks fall back for big
+extents or occupancy-column radii)."""
 import sys
 sys.path.insert(0, "/root/repo")
 from rustsasa_tpu.utils.jax_cache import enable_persistent_cache
@@ -10,11 +15,17 @@ import rustsasa_tpu.ops.engine as E
 
 rng = np.random.default_rng(0)
 
-def protein_like(n):
-    side = (n / 0.1) ** (1 / 3)
+# Discrete radii (ProtOr-like set): keeps the q13 palette tiny, like
+# every real structure.
+RSET = np.array([1.42, 1.55, 1.61, 1.64, 1.77, 1.88, 2.0], np.float32)
+
+
+def protein_like(n, extent=None):
+    side = extent if extent is not None else (n / 0.1) ** (1 / 3)
     c = rng.uniform(0, side, (n, 3)).astype(np.float32)
-    r = rng.uniform(1.4, 1.9, n).astype(np.float32)
+    r = rng.choice(RSET, n).astype(np.float32)
     return c, r, None
+
 
 eng = E.BatchedSasaEngine(E.SasaParams(), backend="fused")
 for m in E._FUSED_M_BUCKETS:
@@ -57,6 +68,26 @@ for m, big_n in [(8192, 2600), (32768, 2600), (131072, 2600),
     eng.compute(structures)
     print(
         f"bucket {m} w-band({big_n} atoms): compiled+ran in "
+        f"{time.time()-t0:.1f}s",
+        flush=True,
+    )
+
+# q16 fallback shapes: a >163 A extent structure in the chunk declines
+# the q13 packer, so these rows compile the q16 wire at the buckets big
+# or exotic chunks actually hit.
+for m, big_n, w_n in [(2097152, 2600, 2600), (2097152, 4000, 4000),
+                      (1048576, 4000, 4000), (524288, 4000, 4000),
+                      (32768, 5000, 5000), (131072, 16000, 16000),
+                      (2048, 2000, 2000), (8192, 2600, 2600)]:
+    structures = [protein_like(w_n, extent=200.0)]
+    structures += [
+        protein_like(2000)
+        for _ in range(max(0, (m - 2 * w_n) // 2048))
+    ]
+    t0 = time.time()
+    eng.compute(structures)
+    print(
+        f"bucket {m} q16({w_n} atoms): compiled+ran in "
         f"{time.time()-t0:.1f}s",
         flush=True,
     )

@@ -411,3 +411,90 @@ def test_native_pipeline_custom_radii_matches_python(tmp_path, monkeypatch):
         for f in sorted(native_out.iterdir())
     )
     assert diff, "custom radii config had no effect"
+
+
+def test_fastpack_q13_matches_numpy():
+    from rustsasa_tpu.native import fastpack_q13
+    from rustsasa_tpu.ops.fused_kernel import _pack_structures_q13_numpy
+
+    rng = np.random.default_rng(2)
+    rset = np.array([1.55, 1.61, 1.64, 1.42, 1.77, 1.2], np.float32)
+    structures = []
+    for n in (3, 100, 128, 700, 2622):
+        coords = (rng.uniform(0, 60, (n, 3)) + 100).astype(np.float32)
+        radii = rng.choice(rset, n).astype(np.float32)
+        structures.append((coords, radii, np.arange(n, dtype=np.int32)))
+    a = fastpack_q13(structures, 1.4)
+    if a is None:
+        pytest.skip("native library unavailable")
+    assert a != "ineligible"
+    b = _pack_structures_q13_numpy(structures, 1.4)
+    assert b is not None
+    np.testing.assert_array_equal(a[0], b[0])  # wire_a
+    np.testing.assert_array_equal(a[1], b[1])  # wire_b
+    np.testing.assert_array_equal(a[2], b[2])  # palette (exact f32)
+    np.testing.assert_array_equal(a[3], b[3])  # tparams
+    np.testing.assert_array_equal(a[4], b[4])  # tmeta
+    for oa, ob in zip(a[5], b[5]):
+        assert oa[0] == ob[0] and oa[1] == ob[1]
+        np.testing.assert_array_equal(oa[2], ob[2])
+
+
+def test_fastpack_q13_ineligible_cases():
+    from rustsasa_tpu.native import fastpack_q13
+    from rustsasa_tpu.ops.fused_kernel import _pack_structures_q13_numpy
+
+    rng = np.random.default_rng(3)
+    # Extent beyond MAX_Q13_EXTENT: both implementations must decline.
+    coords = rng.uniform(0, 250, (256, 3)).astype(np.float32)
+    radii = np.full(256, 1.6, np.float32)
+    s = [(coords, radii, np.arange(256, dtype=np.int32))]
+    a = fastpack_q13(s, 1.4)
+    if a is None:
+        pytest.skip("native library unavailable")
+    assert a == "ineligible"
+    assert _pack_structures_q13_numpy(s, 1.4) is None
+    # >255 distinct radii (occupancy-style): decline.
+    radii2 = (1.2 + np.arange(300, dtype=np.float32) * 0.01)
+    coords2 = rng.uniform(0, 50, (300, 3)).astype(np.float32)
+    s2 = [(coords2, radii2, np.arange(300, dtype=np.int32))]
+    assert fastpack_q13(s2, 1.4) == "ineligible"
+    assert _pack_structures_q13_numpy(s2, 1.4) is None
+
+
+def test_q13_roundtrip_accuracy():
+    """Dequantized q13 planes must match the raw coordinates within the
+    quantization step and radii EXACTLY (palette carries exact f32)."""
+    from rustsasa_tpu.ops.fused_kernel import (
+        MAX_Q13_EXTENT,
+        _pack_structures_q13_numpy,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 500
+    coords = (rng.uniform(0, 70, (n, 3)) - 35).astype(np.float32)
+    rset = np.array([1.55, 1.61, 1.88, 1.42], np.float32)
+    radii = rng.choice(rset, n).astype(np.float32)
+    out = _pack_structures_q13_numpy(
+        [(coords, radii, np.arange(n, dtype=np.int32))], 1.4
+    )
+    assert out is not None
+    wire_a, wire_b, palette, tparams, tmeta, offsets = out
+    pos, nn, inv = offsets[0]
+    qx = (wire_a & 0x1FFF).astype(np.float32)
+    qy = ((wire_a >> 13) & 0x1FFF).astype(np.float32)
+    qz = (((wire_a >> 26) & 0x3F) << 7 | (wire_b & 0x7F)).astype(np.float32)
+    ridx = (wire_b >> 7) & 0xFF
+    par = np.repeat(tparams, 128, axis=0)
+    x = qx * par[:, 3] + par[:, 0]
+    y = qy * par[:, 3] + par[:, 1]
+    z = qz * par[:, 3] + par[:, 2]
+    dq = np.stack([x, y, z], axis=1)[pos:pos + nn][inv]
+    center = np.round(coords.mean(axis=0, dtype=np.float64) * 256.0) / 256.0
+    step = 70.0 / 8191.0
+    assert np.abs(dq - (coords - center.astype(np.float32))).max() <= step
+    assert step <= MAX_Q13_EXTENT / 8191.0
+    r_eff = palette[ridx[pos:pos + nn][inv]]
+    np.testing.assert_array_equal(
+        r_eff, radii + np.float32(1.4)
+    )
