@@ -430,7 +430,7 @@ CHUNK_SLOT_BUDGET = _FUSED_ATOM_BUDGET
 # spaced ~4x to cap padding-slot transfer waste at <= 4x on the tail
 # chunk only; each bucket's Mosaic compile is a one-time cost amortized
 # by the persistent cache.
-_FUSED_M_BUCKETS = [2048, 8192, 32768, 131072, 524288, 1048576, 2097152]
+_FUSED_M_BUCKETS = [2048, 4096, 8192, 32768, 131072, 524288, 1048576, 2097152]
 
 # Device-resident probe spheres, keyed by n_points: the [P,128] f32 block
 # is constant per configuration, so it crosses the host link once per
@@ -474,15 +474,24 @@ def _compute_fused(
     """
     if devices is None:
         devices = jax.local_devices()
-    sphere128 = np.zeros((sphere_packed.shape[0], 128), dtype=np.float32)
-    sphere128[:, 0:4] = sphere_packed
-    sphere_dev = {}
     n_flushed = 0
 
     def sphere_for(dev):
-        if dev not in sphere_dev:
-            sphere_dev[dev] = jax.device_put(sphere128, dev)
-        return sphere_dev[dev]
+        # Process-global per-(device, n_points) cache: re-staging the
+        # [P,128] sphere per _compute_fused call cost a full h2d RPC
+        # (~1-2 ms) on EVERY dispatch - the dominant above-floor term of
+        # single-structure latency, and one wasted transfer per chunk on
+        # the batch path.
+        key = (id(dev), n_points)
+        ent = _SPHERE_DEV.get(key)
+        if ent is None:
+            sphere128 = np.zeros(
+                (sphere_packed.shape[0], 128), dtype=np.float32
+            )
+            sphere128[:, 0:4] = sphere_packed
+            ent = jax.device_put(sphere128, dev)
+            _SPHERE_DEV[key] = ent
+        return ent
 
     results: list[np.ndarray | None] = [None] * len(structures)
     order = sorted(

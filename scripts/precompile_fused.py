@@ -51,7 +51,7 @@ for m in E._FUSED_M_BUCKETS:
 # tiles <-> <=2048/3072/4096/8192/16256 atoms).  The 2.6k/4k rows cover
 # the w=24/32 bands typical proteome chunks use; 5000 -> w=64 single-file
 # CLI shape; 12000/16000 -> w=127.
-for m, big_n in [(8192, 2600), (32768, 2600), (131072, 2600),
+for m, big_n in [(4096, 2600), (4096, 4000), (8192, 2600), (32768, 2600), (131072, 2600),
                  (524288, 2600), (1048576, 2600), (2097152, 2600),
                  (8192, 4000), (32768, 4000), (131072, 4000),
                  (524288, 4000), (1048576, 4000), (2097152, 4000),
