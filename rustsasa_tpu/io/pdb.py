@@ -159,6 +159,8 @@ def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:
         cid = (chain.id or " ")[:2].rjust(2)
         last_idx = None
         for residue in chain.residues:
+            rs = int(residue.serial_number)
+            rs_field = f"{rs:>4}" if rs <= 9999 else h36(rs, 4)
             for conformer in residue.conformers:
                 for i in conformer.atom_indices:
                     name = t.name[i]
@@ -168,10 +170,12 @@ def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:
                     else:
                         name_field = f"{name:<4}"
                     record = "HETATM" if t.hetero[i] else "ATOM  "
+                    serial = int(t.serial[i])
+                    sf = f"{serial:>5}" if serial <= 99999 else h36(serial, 5)
                     out.append(
-                        f"{record}{h36(int(t.serial[i]), 5)} {name_field}"
+                        f"{record}{sf} {name_field}"
                         f"{t.alt_loc[i] or ' '}{t.resname[i]:>3}"
-                        f"{cid}{h36(int(residue.serial_number), 4)}"
+                        f"{cid}{rs_field}"
                         f"{residue.insertion_code or ' '}   "
                         f"{t.coords[i, 0]:8.3f}{t.coords[i, 1]:8.3f}"
                         f"{t.coords[i, 2]:8.3f}{t.occupancy[i]:6.2f}"

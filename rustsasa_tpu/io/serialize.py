@@ -118,6 +118,74 @@ def sasa_result_to_xml(result: SASAResult) -> str:
     raise SerializationError(f"unknown level {result.level}")
 
 
+def _bfactors_from_selection(structure, result, sel, bf):
+    """Vectorized residue/chain write-back via the AtomSelection.
+
+    The hierarchy-walk fallback below builds per-atom Python objects
+    (~10-15 ms/structure); when the result was computed FROM this
+    selection (batch/CLI always pass it), the same stamping is a pair of
+    numpy joins: every table atom whose (chain, res_serial, icode) key
+    matches selection residue k gets that residue's (or its chain's)
+    value - identical semantics to the walk, which stamps every atom of
+    each hierarchy residue including filtered-out ones (parity test:
+    tests/test_io.py).  Returns None when the result doesn't line up
+    with the selection (foreign result objects -> checked walk).
+    """
+    t = structure.atoms
+    if result.level is Level.PROTEIN:
+        bf[:] = result.protein.global_total
+        return bf
+    if result.level not in (Level.RESIDUE, Level.CHAIN):
+        return None
+
+    n_res = sel.n_residues
+    if n_res == 0:
+        return None
+    if result.level is Level.RESIDUE:
+        if len(result.residues) != n_res:
+            return None
+        res_vals = np.fromiter(
+            (r.value for r in result.residues), np.float32, count=n_res
+        )
+    else:
+        if len(result.chains) != len(sel.chain_ids):
+            return None
+        chain_vals = np.fromiter(
+            (c.value for c in result.chains), np.float32,
+            count=len(result.chains),
+        )
+        res_vals = chain_vals[sel.res_chain_idx]
+
+    chain_arr = np.asarray(sel.chain_ids, dtype="U4")
+    res_keys = _pack_rows(
+        chain_arr[sel.res_chain_idx],
+        np.asarray(sel.res_serial, dtype=np.int64),
+        np.asarray(sel.res_icode, dtype="U4"),
+    )
+    atom_keys = _pack_rows(
+        t.chain_id.astype("U4"),
+        np.asarray(t.res_serial, dtype=np.int64),
+        t.icode.astype("U4"),
+    )
+    order = np.argsort(res_keys, kind="stable")
+    pos = np.searchsorted(res_keys[order], atom_keys)
+    pos = np.minimum(pos, n_res - 1)
+    hit = res_keys[order[pos]] == atom_keys
+    if not hit.all():
+        return None  # atoms outside the selection's residue set
+    bf[:] = res_vals[order[pos]]
+    return bf
+
+
+def _pack_rows(*cols: np.ndarray) -> np.ndarray:
+    out = np.empty(
+        len(cols[0]), dtype=[(f"f{i}", c.dtype) for i, c in enumerate(cols)]
+    )
+    for i, c in enumerate(cols):
+        out[f"f{i}"] = c
+    return out
+
+
 def sasa_result_to_bfactors(
     structure: Structure, result: SASAResult, selection=None
 ) -> np.ndarray:
@@ -151,6 +219,11 @@ def sasa_result_to_bfactors(
         for pos, i in enumerate(order):
             bf[i] = result.atoms[pos]
         return bf
+
+    if selection is not None:
+        fast = _bfactors_from_selection(structure, result, selection, bf)
+        if fast is not None:
+            return fast
 
     if result.level is Level.RESIDUE:
         it = iter(result.residues)

@@ -290,3 +290,29 @@ def test_multi_model_pdb_native_pipeline(tmp_path):
         assert np.isclose(ns.coords[0, 0], 20.154)
     finally:
         ns.close()
+
+
+def test_bfactor_fast_path_matches_hierarchy_walk(reference_data_dir):
+    """The vectorized selection-based write-back must stamp EXACTLY the
+    values the checked hierarchy walk produces, at every level, incl.
+    multi-chain serial collisions and excluded (H/HETATM) atoms."""
+    import numpy as np
+
+    from rustsasa_tpu.api import SASAOptions
+    from rustsasa_tpu.io import serialize as ser
+    from rustsasa_tpu.io.read import read_structure
+    from rustsasa_tpu.levels import Level
+
+    files = [
+        reference_data_dir / "pdbs" / "example.cif",
+        reference_data_dir / "pdbs" / "151L_H3.pdb",
+    ]
+    for path in files:
+        for level in (Level.RESIDUE, Level.CHAIN, Level.PROTEIN):
+            s = read_structure(str(path))
+            result, sel = SASAOptions(
+                level=level
+            ).process_with_selection(s)
+            fast = ser.sasa_result_to_bfactors(s, result, selection=sel)
+            slow = ser.sasa_result_to_bfactors(s, result, selection=None)
+            np.testing.assert_array_equal(fast, slow), (path, level)
