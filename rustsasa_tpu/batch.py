@@ -444,7 +444,15 @@ def process_directory(
                     effective_threshold(received)
                 ):
                     dispatch_batch()
-                    while len(inflight) > 2:
+                    # In-flight dispatch depth: with the round-5 host
+                    # speedups the pipeline is DEVICE-bound in degraded
+                    # link windows, and a 2-deep queue left the device
+                    # idle between a collect and the next chunk's h2d.
+                    # Measured same-window A/B (2M-slot chunks, proteome
+                    # corpus): cap2 6.0-8.4 s, cap3 5.1-7.5, cap4
+                    # 4.9-4.9, cap5 4.5 s.  Memory cost is ~13 MB wire
+                    # per in-flight chunk.
+                    while len(inflight) > 5:
                         collect_oldest()
                     drain_emits(only_done=True)
                 batch_good.append((path, h))

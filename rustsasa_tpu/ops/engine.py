@@ -874,7 +874,7 @@ class BatchedSasaEngine:
         (2097152, 16), (2097152, 24), (2097152, 32),
     ]
 
-    def warm_shapes(self, shapes=None, *, threads: int = 3) -> float:
+    def warm_shapes(self, shapes=None, *, threads: int | None = None) -> float:
         """Compile + device-load the production fused-kernel shapes.
 
         Dispatches one all-padding chunk per (M, w) shape so the
@@ -888,8 +888,9 @@ class BatchedSasaEngine:
         cheaper (10.6 vs 14-19s; dispatch is CPU/tracing-bound and the
         pool contends on 2 cores), but when the tunnel degrades the
         loads are LATENCY-bound and concurrency wins big (measured in
-        one degraded window: 81.3s serial vs 14.0s at threads=3).
-        Returns elapsed seconds.
+        degraded windows: 81.3s serial vs 14.0s at threads=3; later in a
+        worse window 126.2s at threads=3 vs 12.2s with one thread per
+        shape).  Default: one thread per shape.  Returns elapsed seconds.
         """
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
@@ -917,6 +918,8 @@ class BatchedSasaEngine:
             np.asarray(out[0:8])
 
         shapes = shapes or self._WARM_SHAPES
+        if threads is None:
+            threads = len(shapes)
         if threads <= 1:
             for shape in shapes:
                 one(shape)
