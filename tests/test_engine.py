@@ -96,3 +96,56 @@ def test_row_chunked_neighbor_phase_matches_dense():
         E._DENSE_N_LIMIT, E._ROW_CHUNK = old_limit, old_chunk
     for a, b in zip(dense, chunked):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_warm_shapes_noop_on_cpu():
+    """warm_shapes targets the fused TPU path; on the CPU/XLA backend it
+    must return immediately without dispatching anything."""
+    from rustsasa_tpu.ops.engine import BatchedSasaEngine, SasaParams
+
+    eng = BatchedSasaEngine(SasaParams(), backend="xla")
+    assert eng.warm_shapes() == 0.0
+
+
+def test_engine_routes_small_structures_to_q13(monkeypatch):
+    """The production fused path must pick the 6 B/slot q13 wire for
+    normal-extent structures and fall back per split for big ones."""
+    import numpy as np
+
+    import rustsasa_tpu.ops.fused_kernel as fk
+    from rustsasa_tpu.ops.engine import BatchedSasaEngine, SasaParams
+
+    calls = []
+    orig13 = fk.fused_sasa_q13_banded
+    orig16 = fk.fused_sasa_q16_banded
+
+    def spy13(*a, **k):
+        calls.append("q13")
+        return orig13(*a, **k)
+
+    def spy16(*a, **k):
+        calls.append("q16")
+        return orig16(*a, **k)
+
+    monkeypatch.setattr(fk, "fused_sasa_q13_banded", spy13)
+    monkeypatch.setattr(fk, "fused_sasa_q16_banded", spy16)
+    monkeypatch.setenv("RUSTSASA_TPU_BACKEND", "fused_interpret")
+
+    rng = np.random.default_rng(0)
+    rset = np.array([1.55, 1.61, 1.77], np.float32)
+    small = (
+        (rng.uniform(0, 40, (100, 3)) - 20).astype(np.float32),
+        rng.choice(rset, 100).astype(np.float32),
+        np.arange(100, dtype=np.int32),
+    )
+    big = (
+        (rng.uniform(0, 140, (100, 3)) - 70).astype(np.float32),
+        rng.choice(rset, 100).astype(np.float32),
+        np.arange(100, dtype=np.int32),
+    )
+    eng = BatchedSasaEngine(SasaParams(), backend="fused_interpret")
+    out = eng.compute([small, big])
+    assert len(out) == 2 and all(o.shape == (100,) for o in out)
+    # The mixed chunk must SPLIT: q13 for the small structure, q16 for
+    # the >100 A extent one (fused_kernel.MAX_Q13_EXTENT).
+    assert sorted(calls) == ["q13", "q16"], calls
