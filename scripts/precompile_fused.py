@@ -58,7 +58,8 @@ for m, big_n in [(4096, 2600), (4096, 4000), (8192, 2600), (32768, 2600), (13107
                  (8192, 5000), (32768, 12000),
                  (32768, 8000), (131072, 8000), (524288, 8000),
                  (2097152, 8000), (4194304, 8000),
-                 (131072, 16000), (2097152, 16000), (4194304, 16000)]:
+                 (131072, 16000), (524288, 16000),
+                 (2097152, 16000), (4194304, 16000)]:
     structures = [protein_like(big_n)]
     structures += [
         protein_like(2000)
