@@ -320,6 +320,7 @@ def process_directory(
     done_q: _queuemod.Queue = _queuemod.Queue()
     inflight: deque = deque()  # (good_batch, enqueue-future)
     batch_good: list = []
+    in_hand: list = [None]  # handle between done_q pop and batch append
 
     def _close_handle(h) -> None:
         if isinstance(h, NativeSelection):
@@ -427,6 +428,7 @@ def process_directory(
                     continue
                 received += 1
                 path, h, err = f.result()
+                in_hand[0] = h  # abort-path cleanup owns it until batched
                 if err is not None:
                     backlog.release()  # no emit will run for this file
                     report.errors.append(err)
@@ -456,6 +458,7 @@ def process_directory(
                         collect_oldest()
                     drain_emits(only_done=True)
                 batch_good.append((path, h))
+                in_hand[0] = None
                 batch_slots += slots
             dispatch_batch()
             while inflight:
@@ -492,6 +495,7 @@ def process_directory(
             except BaseException:  # noqa: BLE001 - cancelled/failed load
                 continue
             _close_handle(h)
+        _close_handle(in_hand[0])
         for _, h in batch_good:
             _close_handle(h)
         for prev_good, _ in inflight:

@@ -29,6 +29,11 @@ def encode(value: int, width: int) -> str:
     raise ValueError(f"value {value} exceeds hybrid-36 width {width}")
 
 
+def max_value(width: int) -> int:
+    """Largest value encodable in `width` hybrid-36 columns."""
+    return 10**width + 2 * 26 * 36 ** (width - 1) - 1
+
+
 def _b36(v: int, width: int) -> str:
     out = []
     while v:

@@ -101,10 +101,15 @@ def parse_pdb(content: str | bytes, source_path: str = "") -> Structure:
     alt_loc = _field_str(mat, 16, 17)
     resname = _field_str(mat, 17, 20)
     # Columns 21-22: the spec's chainID is column 22 only, but column 21
-    # is always blank in conforming files, so reading both supports the
+    # is blank in conforming files, so reading both supports the
     # two-character chain ids our writer emits for multi-char chains
-    # (mmCIF-origin structures) without changing standard-file behavior.
-    chain_id = _field_str(mat, 20, 22)
+    # (the cctbx/iotbx convention).  Guard: column 21 joins the chain
+    # only when column 22 itself is non-blank — a 4-char resname
+    # spilling into column 21 of a CHAIN-LESS file (CHARMM-style) must
+    # not fabricate a chain id.  (With both columns non-blank the two
+    # conventions are inherently ambiguous; ours follows cctbx.)
+    c22 = _field_str(mat, 21, 22)
+    chain_id = np.where(c22 == "", c22, _field_str(mat, 20, 22))
     res_serial = _field_int(mat, 22, 26)
     icode = _field_str(mat, 26, 27)
     x = _field_float(mat, 30, 38)
@@ -145,6 +150,7 @@ def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:
     reference: io.rs:20-64 + pdbtbx::save).
     """
     from .hybrid36 import encode as h36
+    from .hybrid36 import max_value as h36_max
 
     t = structure.atoms
     bf = t.bfactor if bfactors is None else np.asarray(bfactors)
@@ -160,7 +166,11 @@ def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:
         last_idx = None
         for residue in chain.residues:
             rs = int(residue.serial_number)
-            rs_field = f"{rs:>4}" if rs <= 9999 else h36(rs, 4)
+            # Beyond even hybrid-36: clamp (degraded but valid output,
+            # like the old 9999 clamp) rather than abort the write.
+            rs_field = (
+                f"{rs:>4}" if rs <= 9999 else h36(min(rs, h36_max(4)), 4)
+            )
             for conformer in residue.conformers:
                 for i in conformer.atom_indices:
                     name = t.name[i]
@@ -171,7 +181,10 @@ def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:
                         name_field = f"{name:<4}"
                     record = "HETATM" if t.hetero[i] else "ATOM  "
                     serial = int(t.serial[i])
-                    sf = f"{serial:>5}" if serial <= 99999 else h36(serial, 5)
+                    sf = (
+                        f"{serial:>5}" if serial <= 99999
+                        else h36(min(serial, h36_max(5)), 5)
+                    )
                     out.append(
                         f"{record}{sf} {name_field}"
                         f"{t.alt_loc[i] or ' '}{t.resname[i]:>3}"
@@ -184,9 +197,9 @@ def write_pdb(structure: Structure, bfactors: np.ndarray | None = None) -> str:
                     last_idx = i
         if last_idx is not None:
             out.append(
-                f"TER   {h36(int(t.serial[last_idx]) + 1, 5)}      "
+                f"TER   {h36(min(int(t.serial[last_idx]) + 1, h36_max(5)), 5)}      "
                 f"{t.resname[last_idx]:>3}{cid}"
-                f"{h36(int(chain.residues[-1].serial_number), 4)}"
+                f"{h36(min(int(chain.residues[-1].serial_number), h36_max(4)), 4)}"
                 f"{chain.residues[-1].insertion_code or ' '}"
             )
     out.append("END")

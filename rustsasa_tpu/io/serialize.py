@@ -144,11 +144,24 @@ def _bfactors_from_selection(structure, result, sel, bf):
     if result.level is Level.RESIDUE:
         if len(result.residues) != n_res:
             return None
+        # Foreign-result guard: the walk validates per-residue serials
+        # and raises; the fast path validates the same thing vectorized
+        # and falls back to the checked walk on any mismatch.
+        serials = np.fromiter(
+            (r.serial_number for r in result.residues), np.int64,
+            count=n_res,
+        )
+        if not np.array_equal(serials, np.asarray(sel.res_serial)):
+            return None
         res_vals = np.fromiter(
             (r.value for r in result.residues), np.float32, count=n_res
         )
     else:
         if len(result.chains) != len(sel.chain_ids):
+            return None
+        if any(
+            c.name != cid for c, cid in zip(result.chains, sel.chain_ids)
+        ):
             return None
         chain_vals = np.fromiter(
             (c.value for c in result.chains), np.float32,
@@ -156,16 +169,20 @@ def _bfactors_from_selection(structure, result, sel, bf):
         )
         res_vals = chain_vals[sel.res_chain_idx]
 
-    chain_arr = np.asarray(sel.chain_ids, dtype="U4")
+    # Key dtypes follow the atom table's own (chain ids are U4 there
+    # today; using t dtypes keeps this correct if they ever widen).
+    cdt = t.chain_id.dtype
+    idt = t.icode.dtype
+    chain_arr = np.asarray(sel.chain_ids, dtype=cdt)
     res_keys = _pack_rows(
         chain_arr[sel.res_chain_idx],
         np.asarray(sel.res_serial, dtype=np.int64),
-        np.asarray(sel.res_icode, dtype="U4"),
+        np.asarray(sel.res_icode, dtype=idt),
     )
     atom_keys = _pack_rows(
-        t.chain_id.astype("U4"),
+        t.chain_id.astype(cdt),
         np.asarray(t.res_serial, dtype=np.int64),
-        t.icode.astype("U4"),
+        t.icode.astype(idt),
     )
     order = np.argsort(res_keys, kind="stable")
     pos = np.searchsorted(res_keys[order], atom_keys)
@@ -178,12 +195,9 @@ def _bfactors_from_selection(structure, result, sel, bf):
 
 
 def _pack_rows(*cols: np.ndarray) -> np.ndarray:
-    out = np.empty(
-        len(cols[0]), dtype=[(f"f{i}", c.dtype) for i, c in enumerate(cols)]
-    )
-    for i, c in enumerate(cols):
-        out[f"f{i}"] = c
-    return out
+    from ..levels import _rows
+
+    return _rows(*cols)
 
 
 def sasa_result_to_bfactors(

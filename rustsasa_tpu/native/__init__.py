@@ -281,14 +281,14 @@ def set_pipe_radii(radii_config) -> None:
     lib = pipe_library()
     if lib is None:
         return
+    # The normalized tuple itself is the key (a hash() key could
+    # collide and silently keep the wrong table loaded).
     key = (
         None
         if not radii_config
-        else hash(
-            tuple(
-                (res, tuple(sorted(inner.items())))
-                for res, inner in sorted(radii_config.items())
-            )
+        else tuple(
+            (res, tuple(sorted(inner.items())))
+            for res, inner in sorted(radii_config.items())
         )
     )
     with _pipe_lock:
@@ -468,7 +468,7 @@ def fastpack_q13(structures, probe: float, n_threads: int | None = None):
     (wire_a [M] u32, wire_b [M] u16, palette [256] f32, tparams, tmeta,
     offsets).  Returns None when the library is missing (caller runs the
     numpy spec) and the string "ineligible" when the chunk can't take
-    the q12 wire (extent/palette limits; caller falls back to q16).
+    the q13 wire (extent/palette limits; caller falls back to q16).
     """
     global _pack_ready
     lib = load_library()

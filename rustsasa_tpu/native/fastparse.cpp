@@ -235,35 +235,6 @@ inline int64_t parse_int(std::string_view s, int64_t dflt) {
   // 19+ digits can wrap int64; let strtoll clamp with ERANGE semantics
   // (mmCIF integer fields are free-width, unlike PDB's 4-5 columns).
   if (p == end && any && digits <= 18) return neg ? -v : v;
-  // Hybrid-36 extended numbering (A0000.. / a0000.., cctbx convention;
-  // mirrors io/hybrid36.py): alnum token starting with a letter.
-  {
-    const char c0 = s.front();
-    const bool upper0 = c0 >= 'A' && c0 <= 'Z';
-    const bool lower0 = c0 >= 'a' && c0 <= 'z';
-    if ((upper0 || lower0) && s.size() <= 6) {
-      int64_t v36 = 0;
-      bool ok = true;
-      for (char c : s) {
-        int dv;
-        if (c >= '0' && c <= '9') dv = c - '0';
-        else if (c >= 'A' && c <= 'Z') dv = c - 'A' + 10;
-        else if (c >= 'a' && c <= 'z') dv = c - 'a' + 10;
-        else { ok = false; break; }
-        v36 = v36 * 36 + dv;
-      }
-      if (ok) {
-        const int w = static_cast<int>(s.size());
-        int64_t p36 = 1;
-        for (int k = 1; k < w; ++k) p36 *= 36;
-        int64_t p10 = 1;
-        for (int k = 0; k < w; ++k) p10 *= 10;
-        int64_t out = v36 - 10 * p36 + p10;
-        if (lower0) out += 26 * p36;
-        return out;
-      }
-    }
-  }
   char buf[32];
   size_t n = s.size() < 31 ? s.size() : 31;
   memcpy(buf, s.data(), n);
@@ -315,6 +286,58 @@ inline float parse_fixed_float(const char* s, int w, double dflt) {
   while (p < end && (*p == ' ' || *p == '\r')) ++p;
   if (p == end && any) return static_cast<float>(neg ? -v : v);
   return static_cast<float>(parse_float(std::string_view(s, w), dflt));
+}
+
+
+// Hybrid-36 decode for PDB fixed-width serial/resSeq fields (cctbx
+// convention; mirrors io/hybrid36.py + io/pdb.py _field_int: the token
+// is stripped but decoded against the FIELD width, and must be pure
+// base-36 starting with a letter).  Returns true on success.
+inline bool parse_hybrid36(std::string_view s, int field_w, int64_t* out) {
+  s = trim(s);
+  if (s.empty()) return false;
+  const char c0 = s.front();
+  const bool upper0 = c0 >= 'A' && c0 <= 'Z';
+  const bool lower0 = c0 >= 'a' && c0 <= 'z';
+  if (!upper0 && !lower0) return false;
+  int64_t v36 = 0;
+  for (char c : s) {
+    int dv;
+    if (c >= '0' && c <= '9') dv = c - '0';
+    else if (c >= 'A' && c <= 'Z') dv = c - 'A' + 10;
+    else if (c >= 'a' && c <= 'z') dv = c - 'a' + 10;
+    else return false;
+    v36 = v36 * 36 + dv;
+  }
+  int64_t p36 = 1;
+  for (int k = 1; k < field_w; ++k) p36 *= 36;
+  int64_t p10 = 1;
+  for (int k = 0; k < field_w; ++k) p10 *= 10;
+  *out = v36 - 10 * p36 + p10 + (lower0 ? 26 * p36 : 0);
+  return true;
+}
+
+// Int parse for PDB serial/resSeq: plain decimal first, hybrid-36 next
+// (both paths identical to the Python parser's _field_int).
+inline int64_t parse_int_pdb(std::string_view s, int field_w, int64_t dflt) {
+  std::string_view t = trim(s);
+  if (t.empty()) return dflt;
+  const char* p = t.data();
+  const char* end = p + t.size();
+  bool neg = false;
+  if (*p == '-') { neg = true; ++p; }
+  else if (*p == '+') ++p;
+  int64_t v = 0;
+  bool any = false;
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10 + (*p - '0');
+    ++p;
+    any = true;
+  }
+  if (p == end && any) return neg ? -v : v;
+  int64_t h;
+  if (parse_hybrid36(t, field_w, &h)) return h;
+  return parse_int(s, dflt);
 }
 
 // PDB coordinates are %8.3f: right-justified, ALWAYS 3 decimals, so the
@@ -400,9 +423,11 @@ void parse_pdb_line(Builder& b, std::string_view line, bool hetero,
   const char* d = line.data();
   bool fixed = line.size() >= 54;
   if (fixed) {
-    b.serial.push_back(parse_fixed_int(d + 6, 5, 0));
+    int64_t sv = parse_fixed_int(d + 6, 5, INT64_MIN);
+    b.serial.push_back(
+        sv != INT64_MIN ? sv : parse_int_pdb(field(line, 6, 11), 5, 0));
   } else {
-    b.serial.push_back(parse_int(field(line, 6, 11), 0));
+    b.serial.push_back(parse_int_pdb(field(line, 6, 11), 5, 0));
   }
   std::string_view raw_name = field(line, 12, 16);
   if (fixed) {
@@ -411,22 +436,32 @@ void parse_pdb_line(Builder& b, std::string_view line, bool hetero,
     b.alt_code.push_back(b.alt_tab.intern_char(d[16]));
     b.resname_code.push_back(
         intern_raw4(b.resname_tab, b.resname_raw, d + 17, 3));
-    // Column 21 is blank in conforming files; when set it is the first
-    // character of a two-char chain id (our writer's multi-char-chain
-    // convention, matching parse_pdb's [20:22) read).
-    if (d[20] == ' ') {
+    // Column 21 is blank in conforming files; when set AND the spec's
+    // chain column 22 is non-blank, it is the first character of a
+    // two-char chain id (cctbx convention, matching parse_pdb).  A
+    // spill into column 21 with a BLANK chain column (CHARMM-style
+    // 4-char resnames, chain-less) must not fabricate a chain.
+    if (d[20] == ' ' || d[21] == ' ') {
       b.chain_code.push_back(b.chain_tab.intern_char(d[21]));
     } else {
       b.chain_code.push_back(b.chain_tab.intern(trim(field(line, 20, 22))));
     }
-    b.res_serial.push_back(parse_fixed_int(d + 22, 4, 0));
+    {
+      int64_t rv = parse_fixed_int(d + 22, 4, INT64_MIN);
+      b.res_serial.push_back(
+          rv != INT64_MIN ? rv : parse_int_pdb(field(line, 22, 26), 4, 0));
+    }
     b.icode_code.push_back(b.icode_tab.intern_char(d[26]));
   } else {
     b.name_code.push_back(b.name_tab.intern(trim(raw_name)));
     b.alt_code.push_back(b.alt_tab.intern(trim(field(line, 16, 17))));
     b.resname_code.push_back(b.resname_tab.intern(trim(field(line, 17, 20))));
-    b.chain_code.push_back(b.chain_tab.intern(trim(field(line, 20, 22))));
-    b.res_serial.push_back(parse_int(field(line, 22, 26), 0));
+    {
+      std::string_view c22 = trim(field(line, 21, 22));
+      b.chain_code.push_back(b.chain_tab.intern(
+          c22.empty() ? c22 : trim(field(line, 20, 22))));
+    }
+    b.res_serial.push_back(parse_int_pdb(field(line, 22, 26), 4, 0));
     b.icode_code.push_back(b.icode_tab.intern(trim(field(line, 26, 27))));
   }
   if (fixed) {
@@ -1974,7 +2009,7 @@ static bool pack_one_q13(const float* coords, const float* radii, int n,
   float extent = 0.0f;
   for (int d = 0; d < 3; d++) extent = std::max(extent, cmax[d] - cmin[d]);
   if (extent > kMaxQ13Extent) return false;
-  // f64 divide then cast, matching np.float32(max(extent, 1e-6) / 4095.0).
+  // f64 divide then cast, matching np.float32(max(extent, 1e-6) / 8191.0).
   float scale = (float)(std::max((double)extent, 1e-6) / 8191.0);
 
   uint32_t* wa = wire_a + pos;

@@ -438,14 +438,24 @@ _FUSED_M_BUCKETS = [2048, 4096, 8192, 32768, 131072, 524288, 1048576, 2097152]
 _SPHERE_DEV: dict = {}
 
 
-def _sphere128_device(n_points: int):
-    ent = _SPHERE_DEV.get(n_points)
+def _sphere128_device(n_points: int, dev=None):
+    """Process-global per-(n_points, device) staged sphere block.
+
+    The single keying for every caller (warm_shapes, single-structure
+    compute, per-chunk dispatch): re-staging cost a full h2d RPC
+    (~1-2 ms) per dispatch before this cache existed, and two separate
+    key schemes would stage the same block twice.
+    """
+    if dev is None:
+        dev = jax.local_devices()[0]
+    key = (n_points, id(dev))
+    ent = _SPHERE_DEV.get(key)
     if ent is None:
         packed = _sphere_packed(n_points)
         sphere128 = np.zeros((packed.shape[0], 128), dtype=np.float32)
         sphere128[:, 0:4] = packed
-        ent = jax.device_put(sphere128)
-        _SPHERE_DEV[n_points] = ent
+        ent = jax.device_put(sphere128, dev)
+        _SPHERE_DEV[key] = ent
     return ent
 
 
@@ -477,21 +487,7 @@ def _compute_fused(
     n_flushed = 0
 
     def sphere_for(dev):
-        # Process-global per-(device, n_points) cache: re-staging the
-        # [P,128] sphere per _compute_fused call cost a full h2d RPC
-        # (~1-2 ms) on EVERY dispatch - the dominant above-floor term of
-        # single-structure latency, and one wasted transfer per chunk on
-        # the batch path.
-        key = (id(dev), n_points)
-        ent = _SPHERE_DEV.get(key)
-        if ent is None:
-            sphere128 = np.zeros(
-                (sphere_packed.shape[0], 128), dtype=np.float32
-            )
-            sphere128[:, 0:4] = sphere_packed
-            ent = jax.device_put(sphere128, dev)
-            _SPHERE_DEV[key] = ent
-        return ent
+        return _sphere128_device(n_points, dev)
 
     results: list[np.ndarray | None] = [None] * len(structures)
     order = sorted(

@@ -463,7 +463,7 @@ def fused_sasa_q13_banded(
 
 
 def pack_structures_q13(structures: list, probe: float):
-    """Host packing for the 6 B/slot q12 wire (numpy spec).
+    """Host packing for the 6 B/slot q13 wire (numpy spec).
 
     Same contract as pack_structures_q16 but returns
     (wire_a [M] u32, wire_b [M] u16, palette [256] f32, tparams, tmeta,

@@ -174,3 +174,27 @@ def test_hybrid36_serial_pdb_roundtrip():
     back = parse_pdb(text)
     assert list(back.atoms.serial) == [99998, 99999, 100000, 100001]
     assert list(back.atoms.res_serial) == [10000, 10001, 10002, 10003]
+
+
+def test_hybrid36_serials_native_parser_parity(tmp_path):
+    """The C++ parser must decode hybrid-36 serial/resSeq fields exactly
+    like the Python parser (width-aware, PDB fields only)."""
+    from rustsasa_tpu.native import parse_file_native
+
+    rows = []
+    for k in range(4):
+        serial = 99998 + k
+        rows.append(
+            f"ATOM {serial} N N . MET A {10000 + k} ? {k * 8}.0 0.0 0.0 "
+            f"1.00 0.00 1"
+        )
+    cif = MULTICHAIN_CIF.split("ATOM ")[0] + "\n".join(rows) + "\n#\n"
+    text = write_pdb(parse_structure(cif, path="big.cif"))
+    p = tmp_path / "h36.pdb"
+    p.write_text(text)
+    parsed = parse_file_native(str(p))
+    if parsed is None:
+        pytest.skip("native library unavailable")
+    table, _ = parsed
+    assert list(table.serial) == [99998, 99999, 100000, 100001]
+    assert list(table.res_serial) == [10000, 10001, 10002, 10003]
