@@ -670,7 +670,13 @@ def build_jlist_banded(
         )  # [T, 16, A, 3]
         pb2 = jnp.sum(g * g, axis=-1)  # [T, 16, A]
         rr = r_t[:, None, :] + mr[:, :, None] + slack
-        return jnp.any(pb2 <= rr * rr, axis=-1)  # [T, 16]
+        # Float max-reduce + one compare instead of bool any-reduce:
+        # identical admissions (rr^2 - pb2 >= 0 <=> pb2 <= rr^2; padding
+        # slots have r_t = 0 and far-away coords, so their margins are
+        # hugely negative), measured 20% faster for the whole banded
+        # build (101.3 vs 126.3 ms standalone, /tmp-era r5 fine-layout
+        # A/B; the [T,16,A]->[T,16] bool reduction was the bottleneck).
+        return jnp.max(rr * rr - pb2, axis=-1) >= 0.0  # [T, 16]
 
     bits = jax.lax.map(one_shift, (jg_min, jg_max, jg_maxr))  # [nd, T, 16]
     mask = jnp.sum(
