@@ -446,7 +446,18 @@ def fused_sasa_q13_banded(
     qy = ((wa >> 13) & 0x1FFF).astype(jnp.float32)
     qz = (((wa >> 26) & 0x3F) << 7 | (wb & 0x7F)).astype(jnp.float32)
     ridx = ((wb >> 7) & 0xFF).astype(jnp.int32)
-    r_eff = jnp.take(palette, ridx)
+    # Gather-free palette lookup: a 2M-slot jnp.take measured ~17 ms on
+    # device; the iota-compare select-sum fuses to ~2.4 ms and is EXACT
+    # (picks the f32 palette value, adds only zeros).
+    r_eff = jnp.sum(
+        jnp.where(
+            ridx[:, None]
+            == jnp.arange(palette.shape[0], dtype=jnp.int32)[None, :],
+            palette[None, :],
+            0.0,
+        ),
+        axis=1,
+    )
     par = jnp.repeat(tparams, ATOM_TILE, axis=0)
     planes = jnp.zeros((N_PLANES, m), dtype=jnp.float32)
     planes = planes.at[0].set(qx * par[:, 3] + par[:, 0])
