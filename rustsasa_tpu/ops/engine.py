@@ -865,8 +865,8 @@ class BatchedSasaEngine:
     # its executable is compiled (persistent cache) AND loaded onto the
     # device up front.
     _WARM_SHAPES = [
-        (524288, 24), (524288, 32),
-        (1048576, 24), (1048576, 32),
+        (524288, 16), (524288, 24), (524288, 32),
+        (1048576, 16), (1048576, 24), (1048576, 32),
         (2097152, 16), (2097152, 24), (2097152, 32),
     ]
 
