@@ -169,10 +169,11 @@ def _bfactors_from_selection(structure, result, sel, bf):
         )
         res_vals = chain_vals[sel.res_chain_idx]
 
-    # Key dtypes follow the atom table's own (chain ids are U4 there
-    # today; using t dtypes keeps this correct if they ever widen).
-    cdt = t.chain_id.dtype
-    idt = t.icode.dtype
+    # Fixed wide key dtypes: wider than any parser emits (chain U4,
+    # icode U4 today), so neither a foreign selection's ids nor a future
+    # parser widening can truncate into a false key match.
+    cdt = np.dtype("U8")
+    idt = np.dtype("U8")
     chain_arr = np.asarray(sel.chain_ids, dtype=cdt)
     res_keys = _pack_rows(
         chain_arr[sel.res_chain_idx],

@@ -308,9 +308,18 @@ def build_selection(
     slot_of_code[res_order] = np.arange(n_res)
 
     chain_ids = [str(c) for c in t.chain_id[chain_first]]
+    coords_sel = np.ascontiguousarray(t.coords[idx], dtype=np.float32)
+    # Non-finite values (a textual 'nan' in a coordinate or occupancy
+    # column parses as a valid float) must fail HERE as a per-file typed
+    # error: downstream they would silently poison quantization and the
+    # NaN-asymmetric culling reductions instead of one atom.
+    if not np.isfinite(coords_sel).all() or not np.isfinite(radii).all():
+        raise ValueError(
+            "structure contains non-finite coordinates or radii"
+        )
     return AtomSelection(
         atom_indices=idx,
-        coords=np.ascontiguousarray(t.coords[idx], dtype=np.float32),
+        coords=coords_sel,
         radii=radii,
         group_ids=gids.astype(np.int32),
         residue_slot=slot_of_code[res_codes[idx]].astype(np.int32),

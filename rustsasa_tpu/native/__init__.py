@@ -737,6 +737,10 @@ def _raise_select_error(tag: bytes, path: str):
         raise RadiusMissingError(parts[1], parts[2], parts[3])
     if kind == "E_VDW":
         raise VanDerWaalsMissingError(parts[1])
+    if kind == "E_NONFINITE":
+        raise ValueError(
+            "structure contains non-finite coordinates or radii"
+        )
     raise StructureReadError(f"Failed to read from input file: {kind}")
 
 

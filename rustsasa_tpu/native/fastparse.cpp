@@ -1346,6 +1346,20 @@ SelResult* fastpipe_select(FPResult* r, int level, int include_h,
     owner->coords[k * 3 + 2] = r->coords[i * 3 + 2];
   }
 
+  // Non-finite coordinates/radii (a textual 'nan' parses as a valid
+  // float) must fail as a per-file typed error here: downstream they
+  // would silently poison wire quantization and the NaN-asymmetric
+  // culling reductions (mirrors levels.build_selection).
+  for (int64_t k = 0; k < m; ++k) {
+    if (!std::isfinite(owner->radii[k]) ||
+        !std::isfinite(owner->coords[k * 3 + 0]) ||
+        !std::isfinite(owner->coords[k * 3 + 1]) ||
+        !std::isfinite(owner->coords[k * 3 + 2])) {
+      snprintf(s->error, sizeof(s->error), "E_NONFINITE");
+      return s;
+    }
+  }
+
   // Residue slots in traversal order (chain-major, then first appearance).
   auto& res_order = sc.res_order;
   res_order.resize(n_res);
@@ -1893,7 +1907,8 @@ static bool pack_one_q16(const float* coords, const float* radii, int n,
   }
   float extent = 0.0f;
   for (int d = 0; d < 3; d++) extent = std::max(extent, cmax[d] - cmin[d]);
-  if (extent > kMaxQExtent) return false;
+  // NaN-safe negation: non-finite extents must decline, not pass.
+  if (!(extent <= kMaxQExtent)) return false;
   // f64 divide then cast, matching np.float32(max(extent, 1e-6) / 65535.0).
   float scale = (float)(std::max((double)extent, 1e-6) / 65535.0);
 
@@ -1911,7 +1926,7 @@ static bool pack_one_q16(const float* coords, const float* radii, int n,
     py[k] = (uint16_t)std::min(std::max(qy, 0.0f), 65535.0f);
     pz[k] = (uint16_t)std::min(std::max(qz, 0.0f), 65535.0f);
     float qr = nearbyintf((radii[i] + probe) * kRQuant);
-    if (qr > 65535.0f) return false;
+    if (!(qr <= 65535.0f)) return false;  // NaN-safe
     pr[k] = (uint16_t)std::max(qr, 1.0f);
   }
   for (int t = tile0; t < tile0 + nt; t++) {
@@ -2008,7 +2023,7 @@ static bool pack_one_q13(const float* coords, const float* radii, int n,
   }
   float extent = 0.0f;
   for (int d = 0; d < 3; d++) extent = std::max(extent, cmax[d] - cmin[d]);
-  if (extent > kMaxQ13Extent) return false;
+  if (!(extent <= kMaxQ13Extent)) return false;  // NaN-safe
   // f64 divide then cast, matching np.float32(max(extent, 1e-6) / 8191.0).
   float scale = (float)(std::max((double)extent, 1e-6) / 8191.0);
 
@@ -2023,7 +2038,7 @@ static bool pack_one_q13(const float* coords, const float* radii, int n,
     uint32_t qy = (uint32_t)std::min(std::max(qyf, 0.0f), 8191.0f);
     uint32_t qz = (uint32_t)std::min(std::max(qzf, 0.0f), 8191.0f);
     float qrf = nearbyintf((radii[i] + probe) * kRQuant);
-    if (qrf > 65535.0f || qrf < 1.0f) return false;
+    if (!(qrf >= 1.0f && qrf <= 65535.0f)) return false;  // NaN-safe
     uint16_t idx = qr_to_idx[(uint32_t)qrf];
     if (idx == 0) return false;  // palette race guard; prescan covers all
     wa[k] = qx | (qy << 13) | ((qz >> 7) << 26);
@@ -2076,7 +2091,7 @@ int fastpack_q13(int n_structs, const float** coords, const float** radii,
     for (int i = 0; i < ns[s]; i++) {
       float reff = r[i] + probe;
       float qrf = nearbyintf(reff * kRQuant);
-      if (qrf > 65535.0f || qrf < 1.0f) return 1;
+      if (!(qrf >= 1.0f && qrf <= 65535.0f)) return 1;  // NaN-safe
       uint32_t qr = (uint32_t)qrf;
       if (qr_to_idx[qr] == 0) {
         if (n_pal >= 256) return 1;

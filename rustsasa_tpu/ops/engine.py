@@ -879,14 +879,15 @@ class BatchedSasaEngine:
         load is seconds in calm windows and tens of seconds when the
         tunnel degrades — it was the dominant term of the benchmark
         warmup).  Inputs are device-side jnp.zeros, so no wire bytes
-        ride the link and the device work itself is ~zero.  A small
-        thread pool is the default: in calm windows serial is slightly
-        cheaper (10.6 vs 14-19s; dispatch is CPU/tracing-bound and the
-        pool contends on 2 cores), but when the tunnel degrades the
-        loads are LATENCY-bound and concurrency wins big (measured in
-        degraded windows: 81.3s serial vs 14.0s at threads=3; later in a
-        worse window 126.2s at threads=3 vs 12.2s with one thread per
-        shape).  Default: one thread per shape.  Returns elapsed seconds.
+        ride the link and the device work itself is ~zero.  Default:
+        one thread per shape.  In calm windows serial is a few seconds
+        cheaper (dispatch is CPU/tracing-bound and the pool contends on
+        2 cores: 10.6 s serial vs 14-19 s pooled), but when the tunnel
+        degrades the loads are LATENCY-bound and wide concurrency wins
+        by an order of magnitude (measured: 81.3 s serial vs 14.0 s at
+        3 threads; in a worse window 126.2 s at 3 threads vs 12.2 s at
+        one thread per shape) - the degraded case is the one that
+        matters.  Returns elapsed seconds.
         """
         import time as _time
         from concurrent.futures import ThreadPoolExecutor

@@ -530,7 +530,7 @@ def _pack_structures_q13_numpy(structures: list, probe: float):
 
         cmin = c.min(axis=0)
         extent = float((c.max(axis=0) - cmin).max())
-        if extent > MAX_Q13_EXTENT:
+        if not extent <= MAX_Q13_EXTENT:  # NaN-safe negation
             return None
         scale = np.float32(max(extent, 1e-6) / 8191.0)
         q = np.clip(
@@ -538,9 +538,10 @@ def _pack_structures_q13_numpy(structures: list, probe: float):
         ).astype(np.uint32)
 
         qr = np.rint(r_eff * R_QUANT)
-        if float(qr.max(initial=0.0)) > 65535.0 or float(
-            qr.min(initial=1.0)
-        ) < 1.0:
+        if not (
+            float(qr.max(initial=0.0)) <= 65535.0
+            and float(qr.min(initial=1.0)) >= 1.0
+        ):  # NaN-safe negation
             return None
         qr = qr.astype(np.int64)
         # Palette registration in INPUT-atom order (first-seen), exactly
@@ -797,13 +798,13 @@ def _pack_structures_q16_numpy(structures: list, probe: float):
 
         cmin = c.min(axis=0)
         extent = float((c.max(axis=0) - cmin).max())
-        if extent > MAX_Q_EXTENT:
+        if not extent <= MAX_Q_EXTENT:  # NaN-safe negation
             return None
         scale = np.float32(max(extent, 1e-6) / 65535.0)
         q = np.rint((c - cmin[None, :]) / scale)
         planes4[0:3, pos:pos + n] = np.clip(q, 0, 65535).astype(np.uint16).T
         qr = np.rint(r_eff * R_QUANT)
-        if float(qr.max(initial=0.0)) > 65535.0:
+        if not float(qr.max(initial=0.0)) <= 65535.0:  # NaN-safe
             return None
         planes4[3, pos:pos + n] = np.maximum(qr, 1.0).astype(np.uint16)
         t0, t1 = tile0, tile0 + nt
@@ -839,13 +840,13 @@ def quantize_packed(planes5: np.ndarray, spans: list) -> tuple:
         c = planes5[0:3, sl]
         cmin = c.min(axis=1)
         extent = float((c.max(axis=1) - cmin).max())
-        if extent > MAX_Q_EXTENT:
+        if not extent <= MAX_Q_EXTENT:  # NaN-safe negation
             return None
         scale = np.float32(max(extent, 1e-6) / 65535.0)
         q = np.rint((c - cmin[:, None]) / scale)
         planes4[0:3, sl] = np.clip(q, 0, 65535).astype(np.uint16)
         qr = np.rint(planes5[3, sl] * R_QUANT)
-        if float(qr.max(initial=0.0)) > 65535.0:
+        if not float(qr.max(initial=0.0)) <= 65535.0:  # NaN-safe
             return None  # r_eff >= 8 A: exotic probe/radius, f32 path
         planes4[3, sl] = np.maximum(qr, 1.0).astype(np.uint16)
         t0, t1 = pos // ATOM_TILE, -(-(pos + n) // ATOM_TILE)

@@ -316,3 +316,38 @@ def test_bfactor_fast_path_matches_hierarchy_walk(reference_data_dir):
             fast = ser.sasa_result_to_bfactors(s, result, selection=sel)
             slow = ser.sasa_result_to_bfactors(s, result, selection=None)
             np.testing.assert_array_equal(fast, slow), (path, level)
+
+
+def test_nonfinite_structure_rejected(tmp_path):
+    """A textual 'nan' coordinate/occupancy parses as a valid float; the
+    selection layer must reject it as a per-file typed error in BOTH
+    pipelines (downstream it would silently poison wire quantization
+    and NaN-asymmetric culling reductions)."""
+    import pytest as _pytest
+
+    from rustsasa_tpu.api import SASAOptions
+    from rustsasa_tpu.io.read import parse_structure
+    from rustsasa_tpu.levels import Level
+
+    pdb = (
+        "ATOM      1  N   MET A   1         nan  12.019 -23.063  1.00  0.00"
+        "           N\n"
+        "ATOM      2  CA  MET A   1      23.269  12.428 -23.398  1.00  0.00"
+        "           C\n"
+    )
+    st = parse_structure(pdb, path="nan.pdb")
+    with _pytest.raises(ValueError, match="non-finite"):
+        SASAOptions(level=Level.RESIDUE).build_selection(st)
+
+    # Native pipeline: same typed rejection.
+    from rustsasa_tpu.native import native_process_file, pipe_library
+
+    if pipe_library() is not None:
+        p = tmp_path / "nan.pdb"
+        p.write_text(pdb)
+        with _pytest.raises(ValueError, match="non-finite"):
+            native_process_file(
+                str(p), level="residue", include_hydrogens=False,
+                include_hetatms=False, read_radii_from_occupancy=False,
+                allow_vdw_fallback=False,
+            )
