@@ -189,6 +189,8 @@ def main() -> int:
     # through the same production backend the timed runs used, pinned per
     # round (reference: tests/quality.rs:17-18; the pytest gate covers
     # only the CPU/XLA backend).
+    gate_pass = None
+    gate_rmse = None
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "scripts"))
@@ -206,6 +208,8 @@ def main() -> int:
             log(f"quality gate [{row['depth']:17s}]: rmse={row['rmse']} "
                 f"n={row['n']} pass={row['pass']}")
         log(f"quality gate overall: pass={gate['pass']} -> {gate_path}")
+        gate_pass = bool(gate["pass"])
+        gate_rmse = gate["rmse"]
     except Exception as e:  # noqa: BLE001 - the gate must not kill the bench
         log(f"quality gate FAILED to run: {e}")
 
@@ -223,6 +227,10 @@ def main() -> int:
                 "best": round(runs[0], 3),
                 "best_vs_baseline": round(BASELINE_SECONDS / runs[0], 3),
                 "warmup_s": round(warm_elapsed, 1),
+                # All-depths + occupancy FreeSASA gate through the same
+                # production path (details: quality_latest.json).
+                "quality_pass": gate_pass,
+                "quality_residue_rmse": gate_rmse,
             }
         )
     )
