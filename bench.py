@@ -112,25 +112,18 @@ def main() -> int:
 
     options = SASAOptions(level=Level.RESIDUE)
 
-    # Warmup pass: compiles/loads every production shape bucket into the
-    # persistent cache + process.  This mirrors the reference's benchmark
-    # protocol - hyperfine with warmup runs (README.md:163) - and its
-    # PGO build step (rust.yml:59-137): compilation is a one-time artifact
-    # of the deployment, not per-run work.  A ~1,700-file subset covers
-    # the full chunk-bucket ramp (0.5M/1M/2.1M slots + the tail buckets),
-    # so the warmup exercises exactly the shapes the timed runs use at a
-    # third of the wall time (warmup wall is dominated by per-shape
-    # executable loads over the tunnel, which congestion can stretch to
-    # minutes - PROFILE.md).
+    # Warmup mirrors the reference's protocol (hyperfine warmup runs,
+    # README.md:163) and its PGO build step (rust.yml:59-137):
+    # compilation is a one-time artifact of the deployment, not per-run
+    # work.
     from rustsasa_tpu.utils import stagestats as _ss
 
     from rustsasa_tpu.ops.engine import BatchedSasaEngine, SasaParams
 
-    # Stage 1: concurrent per-shape executable loads (engine.warm_shapes)
-    # - when the tunnel degrades these loads are latency-bound and
-    # serializing them behind the pipeline was the dominant term of the
-    # round-4 187 s warmup; a 3-thread pool overlaps them (measured 81.3s
-    # serial vs 14.0s threaded in one degraded window).
+    # Stage 1: concurrent per-shape executable loads (engine.warm_shapes,
+    # one thread per shape) - when the tunnel degrades these loads are
+    # latency-bound, and serializing them behind the pipeline was the
+    # dominant term of the round-4 187 s warmup (PROFILE.md).
     warm_engine = BatchedSasaEngine(SasaParams())
     t0 = time.time()
     shape_elapsed = warm_engine.warm_shapes()
